@@ -1,0 +1,311 @@
+"""Multi-talker mixture simulation.
+
+Reimplements the reference's two-stage pipeline
+(`/root/reference/speaker_diarization/bin/random_mixture.py` +
+`make_mixture.py`): stage 1 samples mixture *specs* (speakers, cycled
+utterances, exponential inter-utterance silences, background noise + SNR,
+optional RIR); stage 2 renders wavs + a Kaldi data dir (wav.scp / segments /
+utt2spk / reco2dur / rttm).
+
+Extras over the reference:
+- RIR reverberation via scipy fftconvolve (no Kaldi wav-reverberate binary),
+  power-normalized so the dry/wet speech level matches;
+- `synthesize_speaker_corpus` generates a fully synthetic single-speaker
+  corpus (distinct harmonic voices) so the entire train→infer→score loop is
+  runnable hermetically — the de-facto CI fixture (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import random
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from . import kaldi_io, wav as wavio
+from .rttm import Turn, write_rttm
+
+
+# ---------------------------------------------------------------------------
+# Synthetic single-speaker corpus (hermetic fixture)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_voice(
+    rng: np.random.Generator,
+    f0: float,
+    tilt: float,
+    formants: Sequence[float],
+    n_samples: int,
+    rate: int,
+) -> np.ndarray:
+    """A crude but spectrally distinctive 'voice': harmonic stack with
+    speaker-specific tilt + formant peaks, syllabic amplitude modulation."""
+    t = np.arange(n_samples) / rate
+    # vibrato-ish f0 wobble
+    f0_t = f0 * (1.0 + 0.02 * np.sin(2 * np.pi * rng.uniform(4, 7) * t))
+    phase = 2 * np.pi * np.cumsum(f0_t) / rate
+    sig = np.zeros(n_samples)
+    n_harm = max(3, int((rate / 2 * 0.8) / f0))
+    for k in range(1, n_harm + 1):
+        fk = k * f0
+        amp = k ** tilt
+        for fc, bw in zip(formants, (120.0, 180.0, 260.0)):
+            amp *= 1.0 + 2.0 * np.exp(-0.5 * ((fk - fc) / bw) ** 2)
+        sig += amp * np.sin(k * phase + rng.uniform(0, 2 * np.pi))
+    # syllabic envelope (~3-5 Hz)
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * rng.uniform(2.5, 5.0) * t + rng.uniform(0, 2 * np.pi))
+    sig = sig * env + 0.01 * rng.standard_normal(n_samples)
+    sig /= max(np.abs(sig).max(), 1e-6)
+    return (0.3 * sig).astype(np.float32)
+
+
+def synthesize_speaker_corpus(
+    out_dir: str,
+    n_speakers: int = 6,
+    utts_per_speaker: int = 10,
+    rate: int = 8000,
+    min_dur: float = 1.0,
+    max_dur: float = 4.0,
+    seed: int = 0,
+) -> str:
+    """Write a Kaldi data dir of synthetic single-speaker utterances."""
+    rng = np.random.default_rng(seed)
+    wav_dir = os.path.join(out_dir, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    wavs, utt2spk = {}, {}
+    for s in range(n_speakers):
+        spk = f"spk{s:03d}"
+        f0 = float(rng.uniform(80, 280))
+        tilt = float(rng.uniform(-1.6, -0.7))
+        formants = sorted(rng.uniform(300, rate / 2 * 0.7, size=3))
+        for u in range(utts_per_speaker):
+            utt = f"{spk}_utt{u:03d}"
+            dur = float(rng.uniform(min_dur, max_dur))
+            sig = synthesize_voice(rng, f0, tilt, formants, int(dur * rate), rate)
+            path = os.path.join(wav_dir, f"{utt}.wav")
+            wavio.write_wav(path, sig, rate)
+            wavs[utt] = path
+            utt2spk[utt] = spk
+    kaldi_io.save_data_dir(out_dir, wavs=wavs, utt2spk=utt2spk)
+    return out_dir
+
+
+def synthesize_noise_corpus(out_dir: str, n_noises: int = 4, rate: int = 8000, dur: float = 10.0, seed: int = 1) -> str:
+    """Background noises: colored noise + hum."""
+    rng = np.random.default_rng(seed)
+    wav_dir = os.path.join(out_dir, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    wavs = {}
+    n = int(dur * rate)
+    for i in range(n_noises):
+        # 1/f-ish colored noise via repeated one-pole low-pass of white noise
+        alpha = rng.uniform(0.8, 0.99)
+        colored = rng.standard_normal(n)
+        for _ in range(2):
+            colored = alpha * np.concatenate([[0], colored[:-1]]) + (1 - alpha) * colored
+        colored /= max(np.abs(colored).max(), 1e-6)
+        path = os.path.join(wav_dir, f"noise{i:02d}.wav")
+        wavio.write_wav(path, (0.3 * colored).astype(np.float32), rate)
+        wavs[f"noise{i:02d}"] = path
+    kaldi_io.save_data_dir(out_dir, wavs=wavs)
+    return out_dir
+
+
+def synthesize_rir_corpus(out_dir: str, n_rirs: int = 4, rate: int = 8000, seed: int = 2) -> str:
+    """Exponentially-decaying sparse-reflection RIRs."""
+    rng = np.random.default_rng(seed)
+    wav_dir = os.path.join(out_dir, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    wavs = {}
+    for i in range(n_rirs):
+        t60 = rng.uniform(0.1, 0.4)
+        n = int(t60 * rate)
+        h = rng.standard_normal(n) * np.exp(-6.9 * np.arange(n) / n)
+        h[0] = 1.0
+        h /= np.sqrt(np.sum(h ** 2))
+        path = os.path.join(wav_dir, f"rir{i:02d}.wav")
+        wavio.write_wav(path, h.astype(np.float32), rate, subtype="FLOAT")
+        wavs[f"rir{i:02d}"] = path
+    kaldi_io.save_data_dir(out_dir, wavs=wavs)
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: random mixture specs (reference random_mixture.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def random_mixture_specs(
+    data_dir: str,
+    noise_dir: Optional[str] = None,
+    rir_dir: Optional[str] = None,
+    n_mixtures: int = 10,
+    n_speakers: int = 2,
+    min_utts: int = 5,
+    max_utts: int = 10,
+    sil_scale: float = 2.0,
+    noise_snrs: Sequence[float] = (5.0, 10.0, 15.0, 20.0),
+    speech_rvb_probability: float = 1.0,
+    seed: int = 777,
+) -> List[dict]:
+    """Sample mixture configurations (one JSON-able dict per mixture)."""
+    rnd = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    wavs = kaldi_io.load_scp(os.path.join(data_dir, "wav.scp"))
+    spk2utt = kaldi_io.load_spk2utt(os.path.join(data_dir, "spk2utt"))
+    noises = kaldi_io.load_scp(os.path.join(noise_dir, "wav.scp")) if noise_dir else {}
+    rirs = kaldi_io.load_scp(os.path.join(rir_dir, "wav.scp")) if rir_dir else {}
+    all_speakers = sorted(spk2utt)
+    all_noises = sorted(noises)
+    all_rirs = sorted(rirs)
+
+    specs = []
+    for it in range(n_mixtures):
+        recid = f"mix_{it + 1:07d}"
+        speakers = rnd.sample(all_speakers, n_speakers)
+        mixture = {"speakers": [], "recid": recid}
+        for speaker in speakers:
+            n_utts = int(nprng.integers(min_utts, max_utts + 1))
+            cyc = itertools.cycle(spk2utt[speaker])
+            for _ in range(int(nprng.integers(0, len(spk2utt[speaker])))):
+                next(cyc)
+            utts = [next(cyc) for _ in range(n_utts)]
+            rir = rirs[rnd.choice(all_rirs)] if (all_rirs and rnd.random() < speech_rvb_probability) else None
+            mixture["speakers"].append(
+                {
+                    "spkid": speaker,
+                    "rir": rir,
+                    "utts": [wavs[u] for u in utts],
+                    "intervals": nprng.exponential(sil_scale, size=n_utts).tolist(),
+                }
+            )
+        mixture["noise"] = noises[rnd.choice(all_noises)] if all_noises else None
+        mixture["snr"] = float(rnd.choice(list(noise_snrs)))
+        specs.append(mixture)
+    return specs
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: render mixtures (reference make_mixture.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def _reverberate(speech: np.ndarray, rir: np.ndarray) -> np.ndarray:
+    from scipy.signal import fftconvolve
+
+    wet = fftconvolve(speech, rir)[: len(speech)]
+    p_dry = np.sum(speech ** 2) + 1e-12
+    p_wet = np.sum(wet ** 2) + 1e-12
+    return (wet * np.sqrt(p_dry / p_wet)).astype(np.float32)
+
+
+def make_mixtures(
+    specs: Sequence[dict],
+    out_data_dir: str,
+    out_wav_dir: str,
+    rate: int = 8000,
+) -> str:
+    """Render mixture specs to wavs + Kaldi data dir (+ rttm)."""
+    os.makedirs(out_wav_dir, exist_ok=True)
+    os.makedirs(out_data_dir, exist_ok=True)
+    wav_scp: Dict[str, str] = {}
+    segments: List[dict] = []
+    utt2spk: Dict[str, str] = {}
+    reco2dur: Dict[str, float] = {}
+    turns: List[Turn] = []
+
+    for spec in specs:
+        recid = spec["recid"]
+        per_spk = []
+        for speaker in spec["speakers"]:
+            spkid = speaker["spkid"]
+            rir = None
+            if speaker.get("rir"):
+                rir, _ = wavio.load_wav_maybe_piped(speaker["rir"])
+            data = []
+            pos = 0
+            for interval, utt in zip(speaker["intervals"], speaker["utts"]):
+                silence = np.zeros(int(interval * rate), dtype=np.float32)
+                data.append(silence)
+                if isinstance(utt, (list, tuple)):
+                    rec, st, et = utt
+                    speech, r = wavio.load_wav_maybe_piped(rec, int(round(st * rate)), int(round(et * rate)))
+                else:
+                    speech, r = wavio.load_wav_maybe_piped(utt)
+                assert r == rate, f"sample-rate mismatch: {r} != {rate} for {utt}"
+                if rir is not None:
+                    speech = _reverberate(speech, rir)
+                data.append(speech)
+                startpos = pos + len(silence)
+                endpos = startpos + len(speech)
+                uttid = f"{spkid}_{recid}_{int(startpos / rate * 100):07d}_{int(endpos / rate * 100):07d}"
+                segments.append(dict(utt=uttid, rec=recid, st=startpos / rate, et=endpos / rate))
+                utt2spk[uttid] = spkid
+                turns.append(Turn(recid, startpos / rate, (endpos - startpos) / rate, spkid))
+                pos = endpos
+            per_spk.append(np.concatenate(data) if data else np.zeros(0, np.float32))
+
+        maxlen = max(len(x) for x in per_spk)
+        mixture = np.sum([np.pad(x, (0, maxlen - len(x))) for x in per_spk], axis=0)
+        if spec.get("noise"):
+            noise, r = wavio.load_wav_maybe_piped(spec["noise"])
+            assert r == rate
+            if maxlen > len(noise):
+                noise = np.pad(noise, (0, maxlen - len(noise)), "wrap")
+            else:
+                noise = noise[:maxlen]
+            sig_p = np.sum(mixture ** 2) / max(len(mixture), 1)
+            noi_p = np.sum(noise ** 2) / max(len(noise), 1)
+            scale = np.sqrt(10 ** (-spec["snr"] / 10) * sig_p / max(noi_p, 1e-12))
+            mixture = mixture + noise * scale
+        peak = np.abs(mixture).max()
+        if peak > 0.99:
+            mixture = mixture * (0.99 / peak)
+        out_path = os.path.join(out_wav_dir, f"{recid}.wav")
+        wavio.write_wav(out_path, mixture.astype(np.float32), rate)
+        wav_scp[recid] = os.path.abspath(out_path)
+        reco2dur[recid] = maxlen / rate
+
+    kaldi_io.save_data_dir(out_data_dir, wavs=wav_scp, segments=segments, utt2spk=utt2spk, reco2dur=reco2dur)
+    write_rttm(os.path.join(out_data_dir, "rttm"), turns)
+    return out_data_dir
+
+
+def simulate_corpus(
+    out_dir: str,
+    n_mixtures: int = 8,
+    n_speakers: int = 2,
+    rate: int = 8000,
+    seed: int = 0,
+    sil_scale: float = 2.0,
+    with_noise: bool = True,
+    with_rir: bool = False,
+    src_speakers: int = 8,
+    utts_per_speaker: int = 8,
+) -> str:
+    """One-call hermetic corpus: synth voices → specs → mixtures.
+
+    Returns the mixture Kaldi data dir (with rttm)."""
+    src = synthesize_speaker_corpus(
+        os.path.join(out_dir, "src"), n_speakers=src_speakers, utts_per_speaker=utts_per_speaker, rate=rate, seed=seed
+    )
+    noise_dir = synthesize_noise_corpus(os.path.join(out_dir, "noise"), rate=rate, seed=seed + 1) if with_noise else None
+    rir_dir = synthesize_rir_corpus(os.path.join(out_dir, "rir"), rate=rate, seed=seed + 2) if with_rir else None
+    specs = random_mixture_specs(
+        src,
+        noise_dir,
+        rir_dir,
+        n_mixtures=n_mixtures,
+        n_speakers=n_speakers,
+        min_utts=4,
+        max_utts=8,
+        sil_scale=sil_scale,
+        noise_snrs=(15.0, 20.0),
+        speech_rvb_probability=0.5 if with_rir else 0.0,
+        seed=seed + 3,
+    )
+    return make_mixtures(specs, os.path.join(out_dir, "data"), os.path.join(out_dir, "mix_wav"), rate)

@@ -1,0 +1,92 @@
+"""Chunked sliding-window inference over long recordings.
+
+Reference semantics: `eend_eda/infer_eda.py:21-125` — sequential fixed-size
+chunks, per-chunk model probabilities concatenated over the recording.
+TPU-first: chunks are batched to a static (B, chunk_samples) shape so one
+compiled program processes the whole corpus; the tail chunk is zero-padded
+and masked.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..data.kaldi_io import KaldiData
+from ..models.eend import FrontendConfig
+
+
+def _chunk_starts(n_sub: int, chunk_frames: int) -> List[int]:
+    if n_sub <= 0:
+        return []
+    starts = list(range(0, max(n_sub - chunk_frames, 0) + 1, chunk_frames))
+    if starts[-1] + chunk_frames < n_sub:
+        starts.append(n_sub - chunk_frames if n_sub >= chunk_frames else 0)
+    return starts
+
+
+def infer_recording(
+    predict_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    audio: np.ndarray,
+    frontend: FrontendConfig,
+    chunk_frames: int = 500,
+    batch_size: int = 8,
+) -> np.ndarray:
+    """Run chunked inference over one recording's samples.
+
+    predict_fn: (audio (B, chunk_samples), frame_mask (B, T)) → probs (B, T, S)
+    Returns (n_sub_frames, S) probabilities for the whole recording.
+    """
+    ss, shift = frontend.subsampling, frontend.frame_shift
+    chunk_samples = frontend.chunk_samples(chunk_frames)
+    n_sub = len(audio) // (ss * shift)
+    if n_sub == 0:
+        n_sub = 1
+    # pad audio so every chunk is full-size
+    n_chunks = (n_sub + chunk_frames - 1) // chunk_frames
+    need = n_chunks * chunk_samples
+    audio_p = np.pad(audio.astype(np.float32), (0, max(0, need - len(audio))))
+
+    chunks, masks = [], []
+    for ci in range(n_chunks):
+        s = ci * chunk_samples
+        chunks.append(audio_p[s : s + chunk_samples])
+        valid = min(chunk_frames, n_sub - ci * chunk_frames)
+        m = np.zeros((chunk_frames,), np.float32)
+        m[:valid] = 1.0
+        masks.append(m)
+
+    outs = []
+    for i in range(0, n_chunks, batch_size):
+        b_audio = np.stack(chunks[i : i + batch_size])
+        b_mask = np.stack(masks[i : i + batch_size])
+        if len(b_audio) < batch_size:  # keep shapes static for XLA
+            pad = batch_size - len(b_audio)
+            b_audio = np.concatenate([b_audio, np.zeros((pad,) + b_audio.shape[1:], np.float32)])
+            b_mask = np.concatenate([b_mask, np.zeros((pad,) + b_mask.shape[1:], np.float32)])
+        probs = np.asarray(predict_fn(b_audio, b_mask))
+        outs.append(probs[: min(batch_size, n_chunks - i)])
+    probs = np.concatenate(outs, axis=0)  # (n_chunks, T, S)
+    flat = probs.reshape(-1, probs.shape[-1])[: n_sub]
+    return flat
+
+
+def infer_dataset(
+    predict_fn,
+    data_dir: str,
+    frontend: FrontendConfig,
+    chunk_frames: int = 500,
+    batch_size: int = 8,
+) -> Dict[str, np.ndarray]:
+    """Chunked inference over every recording in a Kaldi data dir.
+
+    Returns {rec: (T_sub, S) probabilities}.
+    """
+    kd = KaldiData(data_dir)
+    out = {}
+    for rec in sorted(kd.wavs):
+        audio, rate = kd.load_wav(rec)
+        assert rate == frontend.sample_rate, (rate, frontend.sample_rate)
+        out[rec] = infer_recording(predict_fn, audio, frontend, chunk_frames, batch_size)
+    return out

@@ -1,0 +1,3 @@
+from .transformer import TransformerEncoder  # noqa: F401
+from .eend import EENDModel  # noqa: F401
+from .eda import EendEdaModel, EncoderDecoderAttractor  # noqa: F401

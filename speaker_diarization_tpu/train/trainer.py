@@ -1,0 +1,170 @@
+"""The single unified trainer for every model family.
+
+Replaces the reference's four coexisting harnesses (hand-rolled DDP,
+Accelerate, Lightning, DiariZen — SURVEY.md §1 L3) with one pjit/GSPMD
+trainer: params replicated (or model-sharded) on a Mesh, batches sharded over
+the 'data' axis, gradients all-reduced by XLA as psum over ICI, bf16 compute
+with f32 params/optimizer, optional gradient accumulation (optax.MultiSteps),
+global-norm clipping, and an online Polyak-averaged parameter copy
+(the icefall-style averaged model of ts_vad2/checkpoint.py:472-504).
+
+The task plugs in as a pure `loss_fn(params, batch, rng, train) → (loss, aux)`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import shard_batch, replicate
+from .schedules import noam_schedule, polynomial_decay_schedule
+
+
+@dataclass
+class TrainerConfig:
+    optimizer: str = "adam"  # adam | adamw | sgd
+    learning_rate: float = 1.0  # noam: scale; others: peak lr
+    schedule: str = "noam"  # noam | poly | const
+    d_model: int = 256  # for noam
+    warmup_steps: int = 25000
+    total_steps: int = 100000
+    end_lr: float = 0.0
+    weight_decay: float = 0.0
+    grad_clip_norm: Optional[float] = 5.0
+    grad_accum_steps: int = 1
+    model_avg_decay: Optional[float] = None  # e.g. 0.999; None disables
+    seed: int = 0
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    avg_params: Any = None
+    rng: Any = None
+
+
+def build_optimizer(cfg: TrainerConfig) -> tuple[optax.GradientTransformation, Callable]:
+    if cfg.schedule == "noam":
+        sched = noam_schedule(cfg.learning_rate, cfg.d_model, cfg.warmup_steps)
+    elif cfg.schedule == "poly":
+        sched = polynomial_decay_schedule(cfg.learning_rate, cfg.warmup_steps, cfg.total_steps, cfg.end_lr)
+    elif cfg.schedule == "const":
+        sched = lambda step: cfg.learning_rate  # noqa: E731
+    else:
+        raise ValueError(cfg.schedule)
+
+    if cfg.optimizer == "adam":
+        opt = optax.adam(sched)
+    elif cfg.optimizer == "adamw":
+        opt = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(sched)
+    else:
+        raise ValueError(cfg.optimizer)
+
+    chain = []
+    if cfg.grad_clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    chain.append(opt)
+    tx = optax.chain(*chain)
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.grad_accum_steps)
+    return tx, sched
+
+
+class Trainer:
+    """jit-compiled train/eval steps over a device mesh.
+
+    loss_fn(params, batch, rng, train: bool) → (loss, aux_dict); must be pure.
+    """
+
+    def __init__(
+        self,
+        loss_fn: Callable,
+        cfg: TrainerConfig,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.loss_fn = loss_fn
+        self.cfg = cfg
+        self.mesh = mesh
+        self.tx, self.schedule = build_optimizer(cfg)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------
+    def init_state(self, params) -> TrainState:
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+            avg_params=params if self.cfg.model_avg_decay is not None else None,
+            rng=jax.random.PRNGKey(self.cfg.seed),
+        )
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    def init_state_sharded(self, params, mesh: Mesh) -> TrainState:
+        """Init state for already-sharded (GSPMD tensor-parallel) params.
+
+        The optimizer state is created under jit so XLA propagates each
+        parameter's sharding to its mirrored moment buffers.
+        """
+        opt_state = jax.jit(self.tx.init)(params)
+        scalar = NamedSharding(mesh, P())
+        return TrainState(
+            step=jax.device_put(jnp.zeros((), jnp.int32), scalar),
+            params=params,
+            opt_state=opt_state,
+            avg_params=params if self.cfg.model_avg_decay is not None else None,
+            rng=jax.device_put(jax.random.PRNGKey(self.cfg.seed), scalar),
+        )
+
+    # ------------------------------------------------------------------
+    def _train_step_impl(self, state: TrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+            state.params, batch, step_rng, True
+        )
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        avg_params = state.avg_params
+        if avg_params is not None:
+            d = self.cfg.model_avg_decay
+            avg_params = jax.tree_util.tree_map(
+                lambda a, p: a * d + p.astype(a.dtype) * (1.0 - d), avg_params, params
+            )
+        aux = dict(aux)
+        aux["loss"] = loss
+        aux["grad_norm"] = optax.global_norm(grads)
+        aux["lr"] = self.schedule(state.step)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state, avg_params=avg_params, rng=rng),
+            aux,
+        )
+
+    def _eval_step_impl(self, params, batch):
+        loss, aux = self.loss_fn(params, batch, jax.random.PRNGKey(0), False)
+        aux = dict(aux)
+        aux["loss"] = loss
+        return aux
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: TrainState, batch):
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return self._train_step(state, batch)
+
+    def eval_step(self, params, batch):
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return self._eval_step(params, batch)
