@@ -19,36 +19,35 @@ import numpy as np
 
 
 def main():
-    from speaker_diarization_tpu.models import EENDModel
-    from speaker_diarization_tpu.models.eend import FrontendConfig
+    from speaker_diarization_tpu.models import TSVADConfig, TSVADModel
 
-    fe = FrontendConfig(sample_rate=16000, frame_size=400, frame_shift=160)
+    cfg = TSVADConfig()  # full-size: CAM++ (12,24,16) + 2×2-layer d384 backends
+    model = TSVADModel(cfg=cfg, dtype=jnp.bfloat16)
     B, chunk_s = 64, 4.0
-    T = int(chunk_s * fe.sample_rate / fe.frame_shift / fe.subsampling)  # subsampled frames
-    model = EENDModel(
-        n_speakers=4, d_model=256, n_layers=4, n_heads=4, d_ff=1024, frontend=fe, dtype=jnp.bfloat16
+    T = int(chunk_s * cfg.label_rate)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((B, int(chunk_s * cfg.sample_rate))).astype(np.float32) * 0.1)
+    embs = jnp.asarray(
+        rng.standard_normal((B, cfg.max_num_speaker, cfg.speaker_embed_dim)).astype(np.float32)
     )
-    audio = jnp.asarray(
-        np.random.default_rng(0).standard_normal((B, fe.chunk_samples(T))).astype(np.float32) * 0.1
-    )
-    params = model.init(jax.random.PRNGKey(0), audio)
+    variables = model.init(jax.random.PRNGKey(0), audio, embs, T)
 
     @jax.jit
-    def forward(params, audio):
-        return jax.nn.sigmoid(model.apply(params, audio, deterministic=True))
+    def forward(variables, audio, embs):
+        return jax.nn.sigmoid(model.apply(variables, audio, embs, T, train=False))
 
     # warmup/compile
-    forward(params, audio).block_until_ready()
-    forward(params, audio).block_until_ready()
+    forward(variables, audio, embs).block_until_ready()
+    forward(variables, audio, embs).block_until_ready()
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(params, audio)
+        out = forward(variables, audio, embs)
     out.block_until_ready()
     dt = time.perf_counter() - t0
 
-    audio_seconds = iters * B * (fe.chunk_samples(T) / fe.sample_rate)
+    audio_seconds = iters * B * chunk_s
     value = audio_seconds / dt
     baseline = 256.0  # audio-s/s per V100 GPU (run_ts_vad2.sh:198,230)
     print(

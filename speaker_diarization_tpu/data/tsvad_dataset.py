@@ -1,0 +1,221 @@
+"""TS-VAD chunked dataset: mixture windows + target embeddings + 25 Hz labels.
+
+Reference semantics (`egs/alimeeting/ts_vad2/ts_vad_dataset.py:118-814`):
+- windows of rs_len seconds (label chunk = rs_len·25 frames) with
+  segment_shift over each meeting;
+- per window, the meeting's speakers fill the first channels (training:
+  shuffled), remaining channels are "silence" speakers: zero embedding, or
+  with probability (1 - zero_ratio) a random distractor speaker's embedding
+  (labels all-zero either way);
+- target embedding per speaker: random row of the per-speaker embedding
+  matrix at train, the mean row at eval;
+- labels come from the corpus RTTM at 25 Hz.
+
+MUSAN noise / RIR reverb augmentation hooks accept any Kaldi dir of noise /
+RIR wavs (synthetic corpora from data.simulate work).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from . import kaldi_io
+from .rttm import frames_from_turns, read_rttm_by_rec
+from ..infer.embeddings import EmbeddingStore
+
+
+@dataclass(frozen=True)
+class TSVADChunk:
+    rec: str
+    start_frame: int  # label-rate frames
+    end_frame: int
+
+
+class TSVADChunkDataset:
+    def __init__(
+        self,
+        data_dir: str,
+        emb_store: EmbeddingStore,
+        rs_len: float = 4.0,
+        segment_shift: float = 2.0,
+        max_speakers: int = 4,
+        rate: int = 16000,
+        label_rate: int = 25,
+        zero_ratio: float = 0.5,
+        is_train: bool = True,
+        rttm_path: Optional[str] = None,
+        noise_dir: Optional[str] = None,
+        rir_dir: Optional[str] = None,
+        aug_prob: float = 0.5,
+        seed: int = 0,
+    ):
+        self.kd = kaldi_io.KaldiData(data_dir)
+        self.embs = emb_store
+        self.rate = rate
+        self.label_rate = label_rate
+        self.max_speakers = max_speakers
+        self.zero_ratio = zero_ratio
+        self.is_train = is_train
+        self.rng = random.Random(seed)
+        self.np_rng = np.random.default_rng(seed)
+        self.aug_prob = aug_prob
+
+        rttm_path = rttm_path or os.path.join(data_dir, "rttm")
+        self.turns = read_rttm_by_rec(rttm_path)
+        self.rec_speakers: Dict[str, List[str]] = {
+            rec: sorted({t.speaker for t in ts}) for rec, ts in self.turns.items()
+        }
+        # global speaker pool for distractor sampling
+        self.all_speakers = sorted({s for ss in self.rec_speakers.values() for s in ss})
+
+        self.chunk_frames = int(rs_len * label_rate)
+        shift = int(segment_shift * label_rate)
+        self.chunks: List[TSVADChunk] = []
+        for rec in sorted(self.kd.wavs):
+            if rec not in self.turns:
+                continue
+            if self.kd.reco2dur and rec in self.kd.reco2dur:
+                n_frames = int(self.kd.reco2dur[rec] * label_rate)
+            else:
+                from .wav import wav_info
+
+                n_frames = int(wav_info(self.kd.wavs[rec])["frames"] / rate * label_rate)
+            for st in range(0, max(n_frames - self.chunk_frames, 0) + 1, shift):
+                self.chunks.append(TSVADChunk(rec, st, st + self.chunk_frames))
+
+        self._noises = self._load_aug_dir(noise_dir)
+        self._rirs = self._load_aug_dir(rir_dir)
+
+    def _load_aug_dir(self, d):
+        if d is None:
+            return None
+        return kaldi_io.load_scp(os.path.join(d, "wav.scp"))
+
+    def __len__(self):
+        return len(self.chunks)
+
+    @property
+    def chunk_samples(self) -> int:
+        return int(self.chunk_frames / self.label_rate * self.rate)
+
+    # ------------------------------------------------------------------
+    def _target_embedding(self, rec: str, spk: str) -> np.ndarray:
+        m = self.embs.get(rec, spk) if self.embs.has(rec, spk) else None
+        if m is None or len(m) == 0:
+            # fall back to any recording of this speaker
+            for r, spks in self.embs.speakers().items():
+                if spk in spks:
+                    m = self.embs.get(r, spk)
+                    break
+        if m is None or len(m) == 0:
+            return np.zeros((self.embs.dim,), np.float32)
+        if self.is_train:
+            return m[self.rng.randrange(len(m))]
+        return m.mean(axis=0)
+
+    def _distractor_embedding(self, exclude: List[str]) -> Optional[np.ndarray]:
+        pool = [s for s in self.all_speakers if s not in exclude]
+        if not pool:
+            return None
+        spk = self.rng.choice(pool)
+        for r, spks in self.embs.speakers().items():
+            if spk in spks:
+                m = self.embs.get(r, spk)
+                if len(m):
+                    return m[self.rng.randrange(len(m))] if self.is_train else m.mean(axis=0)
+        return None
+
+    def _augment(self, audio: np.ndarray) -> np.ndarray:
+        if not self.is_train or self.rng.random() > self.aug_prob:
+            return audio
+        from .wav import load_wav_maybe_piped
+
+        if self._rirs and self.rng.random() < 0.5:
+            rir, _ = load_wav_maybe_piped(self.rng.choice(list(self._rirs.values())))
+            from scipy.signal import fftconvolve
+
+            wet = fftconvolve(audio, rir)[: len(audio)]
+            p = np.sqrt((np.sum(audio**2) + 1e-12) / (np.sum(wet**2) + 1e-12))
+            audio = (wet * p).astype(np.float32)
+        if self._noises:
+            noise, _ = load_wav_maybe_piped(self.rng.choice(list(self._noises.values())))
+            if len(noise) < len(audio):
+                noise = np.pad(noise, (0, len(audio) - len(noise)), "wrap")
+            else:
+                off = self.rng.randrange(max(len(noise) - len(audio), 1))
+                noise = noise[off : off + len(audio)]
+            snr = self.rng.uniform(5.0, 20.0)
+            sp = np.mean(audio**2) + 1e-12
+            npow = np.mean(noise**2) + 1e-12
+            audio = audio + noise * np.sqrt(10 ** (-snr / 10) * sp / npow)
+        return audio.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, idx: int) -> dict:
+        ch = self.chunks[idx]
+        lr = self.label_rate
+        start_sample = int(ch.start_frame / lr * self.rate)
+        want = self.chunk_samples
+        audio, rate = self.kd.load_wav(ch.rec, start_sample, start_sample + want)
+        assert rate == self.rate
+        if audio.ndim > 1:
+            audio = audio[:, 0]
+        if len(audio) < want:
+            audio = np.pad(audio, (0, want - len(audio)))
+        audio = self._augment(audio)
+
+        T = self.chunk_frames
+        speakers = list(self.rec_speakers[ch.rec])
+        if self.is_train:
+            self.rng.shuffle(speakers)
+        speakers = speakers[: self.max_speakers]
+        offset_s = ch.start_frame / lr
+        act = frames_from_turns(self.turns[ch.rec], speakers, 1.0 / lr, T, offset_s)
+
+        S = self.max_speakers
+        labels = np.zeros((T, S), np.float32)
+        labels[:, : len(speakers)] = act
+        embs = np.zeros((S, self.embs.dim), np.float32)
+        exist = list(speakers)
+        for i in range(S):
+            if i < len(speakers):
+                embs[i] = self._target_embedding(ch.rec, speakers[i])
+            elif self.is_train and self.rng.random() > self.zero_ratio:
+                d = self._distractor_embedding(exist)
+                if d is not None:
+                    embs[i] = d
+        return dict(
+            audio=audio.astype(np.float32),
+            target_embs=embs,
+            labels=labels,
+            rec=ch.rec,
+            start_frame=ch.start_frame,
+            speakers=speakers,
+        )
+
+
+def tsvad_batch_iterator(
+    dataset: TSVADChunkDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+    epoch: int = 0,
+) -> Iterator[dict]:
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(order)
+    n = len(order)
+    stop = n - (n % batch_size) if drop_last else n
+    for i in range(0, stop, batch_size):
+        items = [dataset[j] for j in order[i : i + batch_size]]
+        yield dict(
+            audio=np.stack([it["audio"] for it in items]),
+            target_embs=np.stack([it["target_embs"] for it in items]),
+            labels=np.stack([it["labels"] for it in items]),
+        )

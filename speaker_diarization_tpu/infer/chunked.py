@@ -72,6 +72,56 @@ def infer_recording(
     return flat
 
 
+def tsvad_infer_dataset(
+    predict_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    dataset,
+    batch_size: int = 16,
+) -> Dict[str, np.ndarray]:
+    """Overlapped-window TS-VAD inference with per-frame probability voting.
+
+    Reference: ts_vad2/model.py:957-968 (res_dict accumulation) +
+    infer.py:86-94 (mean over overlap votes). `dataset` must be a
+    TSVADChunkDataset with is_train=False (canonical speaker order) and a
+    small segment_shift so windows overlap.
+
+    predict_fn: (audio (B, N), target_embs (B, S, D)) → probs (B, T25, S).
+    Returns {rec: (n_frames, n_speakers_rec) mean probabilities}.
+    """
+    lr = dataset.label_rate
+    sums: Dict[str, np.ndarray] = {}
+    counts: Dict[str, np.ndarray] = {}
+    for rec in dataset.rec_speakers:
+        if dataset.kd.reco2dur and rec in dataset.kd.reco2dur:
+            n = int(dataset.kd.reco2dur[rec] * lr)
+        else:
+            from ..data.wav import wav_info
+
+            n = int(wav_info(dataset.kd.wavs[rec])["frames"] / dataset.rate * lr)
+        S = len(dataset.rec_speakers[rec])
+        sums[rec] = np.zeros((n, S), np.float64)
+        counts[rec] = np.zeros((n, 1), np.float64)
+
+    n_items = len(dataset)
+    for i in range(0, n_items, batch_size):
+        idxs = list(range(i, min(i + batch_size, n_items)))
+        items = [dataset[j] for j in idxs]
+        audio = np.stack([it["audio"] for it in items])
+        embs = np.stack([it["target_embs"] for it in items])
+        if len(items) < batch_size:  # static shapes for XLA
+            pad = batch_size - len(items)
+            audio = np.concatenate([audio, np.zeros((pad,) + audio.shape[1:], np.float32)])
+            embs = np.concatenate([embs, np.zeros((pad,) + embs.shape[1:], np.float32)])
+        probs = np.asarray(predict_fn(audio, embs))[: len(items)]
+        for it, p in zip(items, probs):
+            rec = it["rec"]
+            st = it["start_frame"]
+            n_spk = len(it["speakers"])
+            en = min(st + p.shape[0], sums[rec].shape[0])
+            sums[rec][st:en, :n_spk] += p[: en - st, :n_spk]
+            counts[rec][st:en] += 1.0
+    return {rec: (sums[rec] / np.maximum(counts[rec], 1.0)).astype(np.float32) for rec in sums}
+
+
 def infer_dataset(
     predict_fn,
     data_dir: str,

@@ -1,0 +1,185 @@
+"""TS-VAD: target-speaker voice activity detection — the DER flagship.
+
+Reference: `/root/reference/egs/alimeeting/ts_vad2/model.py:179-970`.
+Pipeline (CAM++ config, label rate 25 Hz):
+
+  audio (B, N) → kaldi fbank 80d @100 Hz (on device, mean-norm)
+  → CAM++ frame encoder (512d @50 Hz)
+  → Conv k5 s2 + BN + ReLU → 192d @25 Hz ("mix embeddings")
+  → per speaker i<4: concat[target_emb_i ‖ mix] (384d) → +sinusoidal PE
+    → shared 2-layer post-norm transformer ("single backend")
+  → stack speakers, Conv k5 s1 (4·384→384) + BN + ReLU ("backend down")
+  → +PE → 2-layer transformer ("multi backend") → Dense → (B, T25, 4) logits
+
+TPU-first: the per-speaker python loop is folded into the batch axis
+((B,4,T,D) → (B·4,T,D)) so the single backend runs as one big batched
+matmul chain; fbank + CAM++ run under the same jit as the backends.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import features as F
+from .campplus import CAMPPlus
+from .transformer import TransformerEncoderLayer, sinusoidal_position_encoding
+
+
+@dataclass(frozen=True)
+class TSVADConfig:
+    max_num_speaker: int = 4
+    speaker_embed_dim: int = 192
+    transformer_embed_dim: int = 384
+    transformer_ffn_embed_dim: int = 1536
+    num_attention_head: int = 4
+    num_transformer_layer: int = 2
+    dropout: float = 0.1
+    sample_rate: int = 16000
+    label_rate: int = 25
+    feat_dim: int = 80  # fbank bins fed to CAM++
+    encoder_block_layers: tuple = (12, 24, 16)  # CAM++ depth; shrink for tests
+
+
+class BackendTransformer(nn.Module):
+    """Positional encoding + post-norm transformer stack (torch-equivalent)."""
+
+    d_model: int
+    n_layers: int
+    n_heads: int
+    d_ff: int
+    dropout: float
+    max_len: int = 4096
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        pe = jnp.asarray(sinusoidal_position_encoding(self.max_len, self.d_model), dtype=x.dtype)
+        x = x + pe[None, : x.shape[1]]
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        for i in range(self.n_layers):
+            x = TransformerEncoderLayer(
+                n_heads=self.n_heads, d_ff=self.d_ff, dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}"
+            )(x, None, deterministic)
+        return x
+
+
+class ConvBnRelu(nn.Module):
+    out_channels: int
+    kernel: int = 5
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(self.out_channels, (self.kernel,), strides=(self.stride,), padding=[(pad, pad)], dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class TSVADModel(nn.Module):
+    """Audio + per-speaker target embeddings → per-speaker VAD logits."""
+
+    cfg: TSVADConfig = TSVADConfig()
+    remat_encoder: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.speech_encoder = CAMPPlus(
+            feat_dim=c.feat_dim,
+            block_layers=c.encoder_block_layers,
+            block_dilations=(1, 2, 2)[: len(c.encoder_block_layers)],
+            remat=self.remat_encoder,
+            dtype=self.dtype,
+        )
+        self.speech_down = ConvBnRelu(c.speaker_embed_dim, kernel=5, stride=2, dtype=self.dtype)
+        if c.speaker_embed_dim * 2 != c.transformer_embed_dim:
+            self.proj_layer = nn.Dense(c.transformer_embed_dim, dtype=self.dtype)
+        else:
+            self.proj_layer = None
+        self.single_backend = BackendTransformer(
+            d_model=c.transformer_embed_dim,
+            n_layers=c.num_transformer_layer,
+            n_heads=c.num_attention_head,
+            d_ff=c.transformer_ffn_embed_dim,
+            dropout=c.dropout,
+            dtype=self.dtype,
+        )
+        self.backend_down = ConvBnRelu(c.transformer_embed_dim, kernel=5, stride=1, dtype=self.dtype)
+        self.multi_backend = BackendTransformer(
+            d_model=c.transformer_embed_dim,
+            n_layers=c.num_transformer_layer,
+            n_heads=c.num_attention_head,
+            d_ff=c.transformer_ffn_embed_dim,
+            dropout=c.dropout,
+            dtype=self.dtype,
+        )
+        self.fc = nn.Dense(c.max_num_speaker, dtype=self.dtype)
+        self.rs_dropout = nn.Dropout(self.cfg.dropout)
+
+    def encode_speech(self, audio_or_fbank, n_label_frames: int, train: bool = False, freeze_encoder: bool = False):
+        """audio (B, N) or fbank (B, T100, feat) → mix embeddings (B, T25, D)."""
+        c = self.cfg
+        if audio_or_fbank.ndim == 2:
+            fbank = F.kaldi_fbank_jax(audio_or_fbank, sample_rate=c.sample_rate, num_mel_bins=c.feat_dim, mean_norm=True)
+        else:
+            fbank = audio_or_fbank
+        fbank = fbank.astype(self.dtype)
+        x = self.speech_encoder(fbank, train=train and not freeze_encoder, mode="frames")  # (B, T50, 512)
+        if freeze_encoder:
+            x = jax.lax.stop_gradient(x)
+        x = self.speech_down(x, train=train)  # (B, T25, 192)
+        # align to label length (reference model.py:853-857 allows ±2)
+        T = x.shape[1]
+        if T < n_label_frames:
+            x = jnp.pad(x, ((0, 0), (0, n_label_frames - T), (0, 0)))
+        x = x[:, :n_label_frames]
+        return x
+
+    def __call__(
+        self,
+        audio_or_fbank,
+        target_embs,
+        n_label_frames: Optional[int] = None,
+        train: bool = False,
+        freeze_encoder: bool = False,
+    ):
+        """→ logits (B, T25, max_num_speaker), float32.
+
+        target_embs: (B, max_num_speaker, speaker_embed_dim); silence/absent
+        speakers use zero vectors (dataset contract, ts_vad_dataset.py:508).
+        """
+        c = self.cfg
+        if n_label_frames is None:
+            if audio_or_fbank.ndim == 2:
+                n100 = 1 + (audio_or_fbank.shape[-1] - int(0.025 * c.sample_rate)) // int(0.01 * c.sample_rate)
+            else:
+                n100 = audio_or_fbank.shape[1]
+            n50 = -(-n100 // 2)
+            n_label_frames = -(-n50 // 2)
+        mix = self.encode_speech(audio_or_fbank, n_label_frames, train=train, freeze_encoder=freeze_encoder)
+        B, T, D = mix.shape
+        S = c.max_num_speaker
+
+        ts = self.rs_dropout(target_embs.astype(self.dtype), deterministic=not train)  # (B, S, D)
+        ts = jnp.broadcast_to(ts[:, :, None, :], (B, S, T, D))
+        mixs = jnp.broadcast_to(mix[:, None, :, :], (B, S, T, D))
+        cat = jnp.concatenate([ts, mixs], axis=-1)  # (B, S, T, 2D)
+        if self.proj_layer is not None:
+            cat = self.proj_layer(cat)
+        F_dim = cat.shape[-1]
+        # fold speakers into batch for the shared single backend
+        cat = cat.reshape(B * S, T, F_dim)
+        cat = self.single_backend(cat, deterministic=not train)  # (B·S, T, F)
+        cat = cat.reshape(B, S, T, F_dim).transpose(0, 2, 1, 3).reshape(B, T, S * F_dim)
+        cat = self.backend_down(cat, train=train)  # (B, T, F)
+        out = self.multi_backend(cat, deterministic=not train)
+        logits = self.fc(out).astype(jnp.float32)  # (B, T, S)
+        return logits

@@ -297,6 +297,135 @@ def logmel_frames_jax(
     return logmel
 
 
+# ---------------------------------------------------------------------------
+# Kaldi-style fbank (torchaudio.compliance.kaldi.fbank semantics)
+# ---------------------------------------------------------------------------
+# Used by the TS-VAD stack: the reference extracts 80-dim kaldi fbank with a
+# hamming window and mean-norm as CAM++ input (ts_vad_dataset.py:29-57).
+
+
+def _hamming_window(n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.float64)
+    return 0.54 - 0.46 * np.cos(2 * np.pi * i / (n - 1))
+
+
+@functools.lru_cache(maxsize=8)
+def kaldi_mel_banks(num_bins: int, n_fft: int, sample_rate: int, low_freq: float = 20.0, high_freq: float = 0.0) -> np.ndarray:
+    """Kaldi mel filterbank, (num_bins, n_fft//2 + 1); triangles are computed
+    in mel space on FFT-bin center frequencies; the nyquist bin gets weight 0."""
+    if high_freq <= 0:
+        high_freq = sample_rate / 2.0 + high_freq
+    mel = lambda f: 1127.0 * np.log(1.0 + f / 700.0)  # noqa: E731
+    mel_lo, mel_hi = mel(low_freq), mel(high_freq)
+    delta = (mel_hi - mel_lo) / (num_bins + 1)
+    fft_freqs = np.arange(n_fft // 2) * sample_rate / n_fft  # kaldi: excludes nyquist
+    fft_mels = mel(fft_freqs)
+    weights = np.zeros((num_bins, n_fft // 2 + 1), dtype=np.float64)
+    for b in range(num_bins):
+        left, center, right = mel_lo + b * delta, mel_lo + (b + 1) * delta, mel_lo + (b + 2) * delta
+        up = (fft_mels - left) / (center - left)
+        down = (right - fft_mels) / (right - center)
+        weights[b, : n_fft // 2] = np.clip(np.minimum(up, down), 0.0, None)
+    return weights.astype(np.float32)
+
+
+def kaldi_fbank(
+    waveform: np.ndarray,
+    sample_rate: int = 16000,
+    num_mel_bins: int = 80,
+    frame_length_ms: float = 25.0,
+    frame_shift_ms: float = 10.0,
+    dither: float = 0.0,
+    preemphasis: float = 0.97,
+    remove_dc_offset: bool = True,
+    scale_to_int16: bool = True,
+    mean_norm: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Host NumPy kaldi fbank: (n_samples,) float ∈ [-1,1] → (T, num_mel_bins).
+
+    snip_edges=True framing, hamming window, natural-log mel energies.
+    """
+    x = np.asarray(waveform, dtype=np.float64)
+    if scale_to_int16:
+        x = x * 32768.0
+    win = int(sample_rate * frame_length_ms / 1000)
+    shift = int(sample_rate * frame_shift_ms / 1000)
+    n_fft = fft_size_for(win)
+    if len(x) < win:
+        return np.zeros((0, num_mel_bins), np.float32)
+    n_frames = 1 + (len(x) - win) // shift
+    idx = np.arange(win)[None, :] + shift * np.arange(n_frames)[:, None]
+    frames = x[idx]
+    if dither != 0.0:
+        rng = rng or np.random.default_rng()
+        frames = frames + dither * rng.standard_normal(frames.shape)
+    if remove_dc_offset:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    if preemphasis != 0.0:
+        first = frames[:, :1] - preemphasis * frames[:, :1]
+        frames = np.concatenate([first, frames[:, 1:] - preemphasis * frames[:, :-1]], axis=1)
+    frames = frames * _hamming_window(win)[None, :]
+    spec = np.abs(np.fft.rfft(frames, n=n_fft, axis=1)) ** 2
+    mel = kaldi_mel_banks(num_mel_bins, n_fft, sample_rate)
+    feats = spec @ mel.T
+    feats = np.log(np.maximum(feats, np.finfo(np.float32).eps))
+    feats = feats.astype(np.float32)
+    if mean_norm:
+        feats = feats - feats.mean(axis=0, keepdims=True)
+    return feats
+
+
+def kaldi_fbank_jax(
+    waveform: jnp.ndarray,
+    sample_rate: int = 16000,
+    num_mel_bins: int = 80,
+    frame_length_ms: float = 25.0,
+    frame_shift_ms: float = 10.0,
+    preemphasis: float = 0.97,
+    remove_dc_offset: bool = True,
+    scale_to_int16: bool = True,
+    mean_norm: bool = True,
+) -> jnp.ndarray:
+    """Batched on-device kaldi fbank: (..., n) → (..., T, num_mel_bins).
+
+    DFT-as-matmul like the EEND front-end; no dither (inference/training on
+    TPU keeps the host pipeline deterministic — dither only matters for the
+    silence floor of the log).
+    """
+    x = waveform.astype(jnp.float32)
+    if scale_to_int16:
+        x = x * 32768.0
+    win = int(sample_rate * frame_length_ms / 1000)
+    shift = int(sample_rate * frame_shift_ms / 1000)
+    n_fft = fft_size_for(win)
+    n = x.shape[-1]
+    n_frames = 1 + (n - win) // shift
+    starts = shift * np.arange(n_frames)
+    idx = starts[:, None] + np.arange(win)[None, :]
+    frames = x[..., idx]  # (..., T, win)
+    if remove_dc_offset:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if preemphasis != 0.0:
+        first = frames[..., :1] * (1.0 - preemphasis)
+        frames = jnp.concatenate([first, frames[..., 1:] - preemphasis * frames[..., :-1]], axis=-1)
+    window = jnp.asarray(_hamming_window(win).astype(np.float32))
+    fw = frames * window
+    cos_b, sin_b = _dft_basis(n_fft)
+    # frames are win<n_fft wide; zero-pad via slicing the basis rows
+    cb = jnp.asarray(cos_b[:win])
+    sb = jnp.asarray(sin_b[:win])
+    re = jnp.matmul(fw, cb, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(fw, sb, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    spec = re * re + im * im
+    mel = jnp.asarray(kaldi_mel_banks(num_mel_bins, n_fft, sample_rate))
+    feats = jnp.matmul(spec, mel.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    feats = jnp.log(jnp.maximum(feats, np.finfo(np.float32).eps))
+    if mean_norm:
+        feats = feats - jnp.mean(feats, axis=-2, keepdims=True)
+    return feats
+
+
 def splice_jax(Y: jnp.ndarray, context_size: int) -> jnp.ndarray:
     """Batched splice: (..., T, d) → (..., T, d*(2c+1)); zero edge padding."""
     if context_size == 0:

@@ -49,6 +49,7 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: Any
     avg_params: Any = None
     rng: Any = None
+    mutable: Any = None  # non-trained model state (e.g. BatchNorm batch_stats)
 
 
 def build_optimizer(cfg: TrainerConfig) -> tuple[optax.GradientTransformation, Callable]:
@@ -84,6 +85,9 @@ class Trainer:
     """jit-compiled train/eval steps over a device mesh.
 
     loss_fn(params, batch, rng, train: bool) → (loss, aux_dict); must be pure.
+    With has_mutable=True the signature becomes
+    loss_fn(params, mutable, batch, rng, train) → (loss, (aux_dict, new_mutable))
+    — used for models carrying BatchNorm batch_stats.
     """
 
     def __init__(
@@ -91,29 +95,32 @@ class Trainer:
         loss_fn: Callable,
         cfg: TrainerConfig,
         mesh: Optional[Mesh] = None,
+        has_mutable: bool = False,
     ):
         self.loss_fn = loss_fn
         self.cfg = cfg
         self.mesh = mesh
+        self.has_mutable = has_mutable
         self.tx, self.schedule = build_optimizer(cfg)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------
-    def init_state(self, params) -> TrainState:
+    def init_state(self, params, mutable=None) -> TrainState:
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=self.tx.init(params),
             avg_params=params if self.cfg.model_avg_decay is not None else None,
             rng=jax.random.PRNGKey(self.cfg.seed),
+            mutable=mutable,
         )
         if self.mesh is not None:
             state = replicate(state, self.mesh)
         return state
 
-    def init_state_sharded(self, params, mesh: Mesh) -> TrainState:
+    def init_state_sharded(self, params, mesh: Mesh, mutable=None) -> TrainState:
         """Init state for already-sharded (GSPMD tensor-parallel) params.
 
         The optimizer state is created under jit so XLA propagates each
@@ -127,14 +134,21 @@ class Trainer:
             opt_state=opt_state,
             avg_params=params if self.cfg.model_avg_decay is not None else None,
             rng=jax.device_put(jax.random.PRNGKey(self.cfg.seed), scalar),
+            mutable=mutable if mutable is None else replicate(mutable, mesh),
         )
 
     # ------------------------------------------------------------------
     def _train_step_impl(self, state: TrainState, batch):
         rng, step_rng = jax.random.split(state.rng)
-        (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-            state.params, batch, step_rng, True
-        )
+        new_mutable = state.mutable
+        if self.has_mutable:
+            (loss, (aux, new_mutable)), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                state.params, state.mutable, batch, step_rng, True
+            )
+        else:
+            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                state.params, batch, step_rng, True
+            )
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         avg_params = state.avg_params
@@ -148,12 +162,22 @@ class Trainer:
         aux["grad_norm"] = optax.global_norm(grads)
         aux["lr"] = self.schedule(state.step)
         return (
-            TrainState(step=state.step + 1, params=params, opt_state=opt_state, avg_params=avg_params, rng=rng),
+            TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                avg_params=avg_params,
+                rng=rng,
+                mutable=new_mutable,
+            ),
             aux,
         )
 
-    def _eval_step_impl(self, params, batch):
-        loss, aux = self.loss_fn(params, batch, jax.random.PRNGKey(0), False)
+    def _eval_step_impl(self, params, mutable, batch):
+        if self.has_mutable:
+            loss, (aux, _) = self.loss_fn(params, mutable, batch, jax.random.PRNGKey(0), False)
+        else:
+            loss, aux = self.loss_fn(params, batch, jax.random.PRNGKey(0), False)
         aux = dict(aux)
         aux["loss"] = loss
         return aux
@@ -164,7 +188,7 @@ class Trainer:
             batch = shard_batch(batch, self.mesh)
         return self._train_step(state, batch)
 
-    def eval_step(self, params, batch):
+    def eval_step(self, params, batch, mutable=None):
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh)
-        return self._eval_step(params, batch)
+        return self._eval_step(params, mutable, batch)

@@ -1,0 +1,142 @@
+"""Torch checkpoint → flax params conversion for the speaker-encoder zoo.
+
+The reference's DER numbers depend on pretrained speaker encoders (CAM++
+from modelscope etc., SURVEY.md §7 'pretrained-weight parity'). This module
+maps a torch `state_dict` into the flax parameter/batch-stats pytrees of our
+reimplementations. Pure tensor-name/layout mapping — no torch execution
+needed (state dicts load with `torch.load(..., map_location='cpu')` or from
+numpy archives).
+
+Layout rules:
+  Conv1d (out, in, k)      → flax Conv kernel (k, in, out)
+  Conv2d (out, in, kh, kw) → flax Conv kernel (kh, kw, in, out)
+  Linear (out, in)         → flax Dense kernel (in, out)
+  BatchNorm weight/bias/running_mean/running_var
+                           → params …/bn{scale,bias} + batch_stats …/bn{mean,var}
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _np(t):
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()  # torch tensor
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def campplus_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = "") -> Tuple[dict, dict]:
+    """Convert a reference CAMPPlus state_dict to (params, batch_stats).
+
+    `prefix` strips a leading scope (e.g. 'speech_encoder.'). Tensor names
+    follow cam_pplus_wespeaker.py; our module names mirror them
+    (models/campplus.py).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def conv_k(w):
+        w = _np(w)
+        if w.ndim == 3:
+            return w.transpose(2, 1, 0)
+        if w.ndim == 4:
+            return w.transpose(2, 3, 1, 0)
+        raise ValueError(w.shape)
+
+    for name, w in state_dict.items():
+        if prefix:
+            if not name.startswith(prefix):
+                continue
+            name = name[len(prefix):]
+        w = _np(w)
+        parts = name.split(".")
+
+        # ---- FCM head ----
+        if parts[0] == "head":
+            if parts[1] in ("conv1", "conv2"):
+                _set(params, ("head", parts[1], "kernel"), conv_k(w))
+            elif parts[1] in ("bn1", "bn2"):
+                _map_bn(params, stats, ("head", parts[1]), parts[2], w)
+            elif parts[1] in ("layer1", "layer2"):
+                blk = f"{parts[1]}_{parts[2]}"
+                sub = parts[3]
+                if sub in ("conv1", "conv2"):
+                    _set(params, ("head", blk, sub, "kernel"), conv_k(w))
+                elif sub in ("bn1", "bn2"):
+                    _map_bn(params, stats, ("head", blk, sub), parts[4], w)
+                elif sub == "shortcut":
+                    if parts[4] == "0":
+                        _set(params, ("head", blk, "shortcut_conv", "kernel"), conv_k(w))
+                    else:
+                        _map_bn(params, stats, ("head", blk, "shortcut_bn"), parts[5], w)
+            continue
+
+        # ---- xvector trunk ----
+        if parts[0] == "xvector":
+            rest = parts[1:]
+            if rest[0] == "tdnn":
+                if rest[1] == "linear":
+                    _set(params, ("tdnn", "conv", "kernel"), conv_k(w))
+                else:  # nonlinear.batchnorm.*
+                    _map_bn(params, stats, ("tdnn", "nonlinear", "bn"), rest[-1], w)
+            elif re.match(r"block\d+", rest[0]):
+                blk, layer = rest[0], rest[1]  # tdnndN
+                sub = rest[2]
+                if sub in ("nonlinear1", "nonlinear2"):
+                    _map_bn(params, stats, (blk, layer, sub, "bn"), rest[-1], w)
+                elif sub == "linear1":
+                    _set(params, (blk, layer, "linear1", "kernel"), conv_k(w))
+                elif sub == "cam_layer":
+                    which = rest[3]
+                    if rest[4] == "weight":
+                        _set(params, (blk, layer, "cam_layer", which, "kernel"), conv_k(w))
+                    else:
+                        _set(params, (blk, layer, "cam_layer", which, "bias"), w)
+            elif re.match(r"transit\d+", rest[0]):
+                if rest[1] == "linear":
+                    _set(params, (rest[0], "linear", "kernel"), conv_k(w))
+                else:
+                    _map_bn(params, stats, (rest[0], "nonlinear", "bn"), rest[-1], w)
+            elif rest[0] == "out_nonlinear":
+                _map_bn(params, stats, ("out_nonlinear", "bn"), rest[-1], w)
+            elif rest[0] == "dense":
+                if rest[1] == "linear":
+                    _set(params, ("dense_linear", "kernel"), _np(w)[:, :, 0].T)
+                else:  # nonlinear.batchnorm: affine=False → stats only
+                    _map_bn(params, stats, ("dense_nonlinear", "bn"), rest[-1], w)
+            continue
+    return params, stats
+
+
+def _map_bn(params, stats, path, leaf, w):
+    if leaf == "weight":
+        _set(params, path + ("scale",), w)
+    elif leaf == "bias":
+        _set(params, path + ("bias",), w)
+    elif leaf == "running_mean":
+        _set(stats, path + ("mean",), w)
+    elif leaf == "running_var":
+        _set(stats, path + ("var",), w)
+    # num_batches_tracked: ignored
+
+
+def load_campplus_checkpoint(path: str, prefix: str = "") -> Tuple[dict, dict]:
+    """Load a torch .pt/.bin CAM++ checkpoint into flax (params, batch_stats)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return campplus_torch_to_flax(sd, prefix=prefix)

@@ -1,0 +1,205 @@
+"""TS-VAD stack tests: kaldi fbank, CAM++ parity vs the reference torch
+implementation (oracle), TS-VAD model shapes/training, embedding store."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speaker_diarization_tpu.infer.embeddings import EmbeddingStore, chunk_embeddings
+from speaker_diarization_tpu.models import CAMPPlus, TSVADConfig, TSVADModel
+from speaker_diarization_tpu.ops import features as F
+
+REF_CAMPP = "/root/reference/egs/alimeeting/ts_vad2/cam_pplus_wespeaker.py"
+
+
+def _rand_audio(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+
+class TestKaldiFbank:
+    def test_matches_transformers_oracle(self):
+        from transformers import audio_utils as au
+
+        x = _rand_audio(16000, 1)
+        mine = F.kaldi_fbank(x, dither=0.0)
+        win = au.window_function(400, "hamming", periodic=False)
+        mel = au.mel_filter_bank(
+            num_frequency_bins=257, num_mel_filters=80, min_frequency=20.0, max_frequency=8000.0,
+            sampling_rate=16000, norm=None, mel_scale="kaldi", triangularize_in_mel_space=True,
+        )
+        ref = au.spectrogram(
+            x * 32768.0, win, frame_length=400, hop_length=160, fft_length=512, power=2.0,
+            center=False, preemphasis=0.97, remove_dc_offset=True, mel_filters=mel,
+            mel_floor=float(np.finfo(np.float32).eps), log_mel="log",
+        ).T
+        assert mine.shape == ref.shape
+        np.testing.assert_allclose(mine, ref, atol=1e-4)
+
+    def test_jax_matches_numpy(self):
+        x = _rand_audio(16000, 2)
+        host = F.kaldi_fbank(x, dither=0.0, mean_norm=True)
+        dev = np.asarray(F.kaldi_fbank_jax(jnp.asarray(x)[None], mean_norm=True))[0]
+        np.testing.assert_allclose(dev, host, atol=2e-3)
+
+    def test_frame_count(self):
+        x = _rand_audio(64000, 3)  # 4 s
+        assert F.kaldi_fbank(x).shape == (398, 80)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CAMPP), reason="reference not mounted")
+class TestCAMPPlusParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        import importlib.util
+
+        import torch
+
+        spec = importlib.util.spec_from_file_location("ref_campp", REF_CAMPP)
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        torch.manual_seed(0)
+        tm = ref.CAMPPlus(feat_dim=80, embedding_size=192, memory_efficient=False)
+        tm.eval()
+        with torch.no_grad():
+            for m in tm.modules():
+                if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+                    m.running_mean.uniform_(-0.5, 0.5)
+                    m.running_var.uniform_(0.5, 1.5)
+        from speaker_diarization_tpu.utils.torch_convert import campplus_torch_to_flax
+
+        params, stats = campplus_torch_to_flax({k: v.numpy() for k, v in tm.state_dict().items()})
+        return tm, {"params": params, "batch_stats": stats}
+
+    def test_frame_features_match(self, pair):
+        import torch
+
+        tm, variables = pair
+        x = np.random.default_rng(0).standard_normal((2, 200, 80)).astype(np.float32)
+        with torch.no_grad():
+            t_out = tm(torch.from_numpy(x), get_time_out=True).numpy().transpose(0, 2, 1)
+        f_out = np.asarray(CAMPPlus().apply(variables, jnp.asarray(x), False, "frames"))
+        assert f_out.shape == t_out.shape == (2, 100, 512)
+        np.testing.assert_allclose(f_out, t_out, atol=1e-4)
+
+    def test_embedding_matches(self, pair):
+        import torch
+
+        tm, variables = pair
+        x = np.random.default_rng(1).standard_normal((2, 345, 80)).astype(np.float32)  # odd T
+        with torch.no_grad():
+            t_emb = tm(torch.from_numpy(x), get_time_out=False).numpy()
+        f_emb = np.asarray(CAMPPlus().apply(variables, jnp.asarray(x), False, "embedding"))
+        cos = (t_emb * f_emb).sum(-1) / (np.linalg.norm(t_emb, axis=-1) * np.linalg.norm(f_emb, axis=-1))
+        assert (cos > 0.9999).all()
+
+
+TINY_TSVAD = TSVADConfig(
+    max_num_speaker=4,
+    speaker_embed_dim=192,
+    transformer_embed_dim=384,
+    transformer_ffn_embed_dim=256,
+    num_transformer_layer=1,
+    dropout=0.0,
+)
+
+
+class TestTSVADModel:
+    def test_forward_shapes(self):
+        model = TSVADModel(cfg=TINY_TSVAD)
+        B, secs = 2, 2
+        audio = jnp.asarray(_rand_audio(B * secs * 16000).reshape(B, -1))
+        embs = jnp.asarray(np.random.default_rng(0).standard_normal((B, 4, 192)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), audio, embs, secs * 25)
+        logits = model.apply(variables, audio, embs, secs * 25)
+        assert logits.shape == (B, secs * 25, 4)
+        assert logits.dtype == jnp.float32
+
+    def test_train_step_updates_batchstats(self):
+        from speaker_diarization_tpu.ops import losses as L
+        from speaker_diarization_tpu.train import Trainer, TrainerConfig
+
+        model = TSVADModel(cfg=TINY_TSVAD)
+        B, T = 2, 50
+        rng = np.random.default_rng(0)
+        batch = dict(
+            audio=(_rand_audio(B * 32000, 1)).reshape(B, -1),
+            target_embs=rng.standard_normal((B, 4, 192)).astype(np.float32),
+            labels=(rng.random((B, T, 4)) < 0.3).astype(np.float32),
+        )
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["audio"]), jnp.asarray(batch["target_embs"]), T)
+
+        def loss_fn(params, mutable, b, rng_key, train):
+            logits, new_mut = model.apply(
+                {"params": params, **mutable},
+                b["audio"],
+                b["target_embs"],
+                T,
+                train=train,
+                rngs={"dropout": rng_key},
+                mutable=["batch_stats"] if train else [],
+            ) if train else (
+                model.apply({"params": params, **mutable}, b["audio"], b["target_embs"], T, train=False),
+                mutable,
+            )
+            loss = L.standard_bce(logits, b["labels"])
+            return loss, ({}, dict(new_mut) if train else mutable)
+
+        tr = Trainer(loss_fn, TrainerConfig(schedule="const", learning_rate=1e-3), has_mutable=True)
+        state = tr.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
+        old_stats = jax.tree_util.tree_leaves(state.mutable)[0].copy()
+        losses = []
+        for _ in range(3):
+            state, aux = tr.train_step(state, batch)
+            losses.append(float(aux["loss"]))
+        new_stats = jax.tree_util.tree_leaves(state.mutable)[0]
+        assert not np.allclose(np.asarray(old_stats), np.asarray(new_stats)), "batch_stats did not update"
+        assert np.isfinite(losses).all()
+
+    def test_freeze_encoder_blocks_gradients(self):
+        model = TSVADModel(cfg=TINY_TSVAD)
+        B, T = 1, 25
+        audio = jnp.asarray(_rand_audio(16000).reshape(1, -1))
+        embs = jnp.asarray(np.zeros((B, 4, 192), np.float32))
+        variables = model.init(jax.random.PRNGKey(0), audio, embs, T)
+        labels = jnp.asarray((np.random.default_rng(0).random((B, T, 4)) < 0.3).astype(np.float32))
+
+        def loss(p, freeze):
+            from speaker_diarization_tpu.ops.losses import standard_bce
+
+            logits = model.apply({"params": p, "batch_stats": variables["batch_stats"]}, audio, embs, T, train=False, freeze_encoder=freeze)
+            return standard_bce(logits, labels)
+
+        g_frozen = jax.grad(lambda p: loss(p, True))(variables["params"])
+        enc_norm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g_frozen["speech_encoder"]))
+        assert enc_norm == 0.0
+        g_free = jax.grad(lambda p: loss(p, False))(variables["params"])
+        enc_norm2 = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g_free["speech_encoder"]))
+        assert enc_norm2 > 0.0
+
+
+class TestEmbeddingStore:
+    def test_roundtrip(self, tmp_path):
+        store = EmbeddingStore()
+        store.put("rec1", "spkA", np.ones((3, 192), np.float32))
+        store.put("rec1", "spkB", np.zeros((2, 192), np.float32))
+        p = tmp_path / "emb.npz"
+        store.save(str(p))
+        back = EmbeddingStore.load(str(p))
+        assert back.dim == 192
+        assert back.speakers() == {"rec1": ["spkA", "spkB"]}
+        np.testing.assert_array_equal(back.get("rec1", "spkA"), np.ones((3, 192)))
+
+    def test_chunk_embeddings(self):
+        calls = []
+
+        def embed_fn(b):
+            calls.append(b.shape)
+            return b.mean(axis=1, keepdims=True) * np.ones((b.shape[0], 5))
+
+        audio = _rand_audio(16000 * 10, 5)
+        out = chunk_embeddings(embed_fn, audio, 16000, window_s=6.0, hop_s=1.0, batch_size=3)
+        assert out.shape == (5, 5)  # (10-6)/1 + 1 windows

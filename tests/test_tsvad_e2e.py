@@ -1,0 +1,139 @@
+"""TS-VAD end-to-end: simulate 16 kHz corpus → extract target embeddings →
+train → overlapped-window inference with prob voting → RTTM → DER."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speaker_diarization_tpu.data.kaldi_io import KaldiData
+from speaker_diarization_tpu.data.rttm import write_rttm
+from speaker_diarization_tpu.data.simulate import simulate_corpus
+from speaker_diarization_tpu.data.tsvad_dataset import TSVADChunkDataset, tsvad_batch_iterator
+from speaker_diarization_tpu.infer import EmbeddingStore, chunk_embeddings, tsvad_infer_dataset
+from speaker_diarization_tpu.models import CAMPPlus, TSVADConfig, TSVADModel
+from speaker_diarization_tpu.ops import features as F
+from speaker_diarization_tpu.ops import losses as L
+from speaker_diarization_tpu.postproc import probs_to_turns
+from speaker_diarization_tpu.score import score_der
+from speaker_diarization_tpu.train import Trainer, TrainerConfig
+
+CFG = TSVADConfig(
+    max_num_speaker=4,
+    transformer_ffn_embed_dim=256,
+    num_transformer_layer=1,
+    dropout=0.1,
+    encoder_block_layers=(2, 2),
+)
+RS_LEN = 2.0
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tsvad_sim")
+    data_dir = simulate_corpus(
+        str(d), n_mixtures=3, n_speakers=2, rate=16000, seed=3, sil_scale=1.0, with_noise=True,
+        src_speakers=6, utts_per_speaker=6,
+    )
+    model = TSVADModel(cfg=CFG)
+    audio0 = jnp.zeros((1, int(RS_LEN * 16000)), jnp.float32)
+    embs0 = jnp.zeros((1, 4, 192), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), audio0, embs0, int(RS_LEN * 25))
+
+    # target embeddings from clean source utterances through a standalone
+    # speaker encoder (the reference uses a separately pretrained CAM++)
+    src = KaldiData(os.path.join(str(d), "src"))
+    camp = CAMPPlus(block_layers=CFG.encoder_block_layers, block_dilations=(1, 2))
+    camp_vars = camp.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 198, 80), jnp.float32), False, "embedding"
+    )
+
+    @jax.jit
+    def embed(batch_audio):
+        fb = F.kaldi_fbank_jax(jnp.asarray(batch_audio), mean_norm=True)
+        return camp.apply(camp_vars, fb, False, "embedding")
+
+    spk_audio = {}
+    for utt, spk in src.utt2spk.items():
+        a, r = src.load_wav(utt) if utt in src.wavs else (None, None)
+        if a is None:
+            continue
+        spk_audio.setdefault(spk, []).append(a)
+    store = EmbeddingStore()
+    mix = KaldiData(data_dir)
+    from speaker_diarization_tpu.data.rttm import read_rttm_by_rec
+
+    turns = read_rttm_by_rec(os.path.join(data_dir, "rttm"))
+    for rec, ts in turns.items():
+        for spk in sorted({t.speaker for t in ts}):
+            audio = np.concatenate(spk_audio[spk])
+            m = chunk_embeddings(lambda b: embed(b), audio, 16000, window_s=2.0, hop_s=1.0, batch_size=8)
+            store.put(rec, spk, m)
+    return data_dir, model, variables, store
+
+
+def _loss_fn(model):
+    T = int(RS_LEN * 25)
+
+    def loss_fn(params, mutable, batch, rng_key, train):
+        if train:
+            logits, new_mut = model.apply(
+                {"params": params, **mutable}, batch["audio"], batch["target_embs"], T,
+                train=True, rngs={"dropout": rng_key}, mutable=["batch_stats"],
+            )
+        else:
+            logits = model.apply({"params": params, **mutable}, batch["audio"], batch["target_embs"], T, train=False)
+            new_mut = mutable
+        loss = L.standard_bce(logits, batch["labels"])
+        return loss, ({}, dict(new_mut))
+
+    return loss_fn
+
+
+class TestTSVADEndToEnd:
+    def test_train_infer_score(self, setup, tmp_path):
+        data_dir, model, variables, store = setup
+        ds = TSVADChunkDataset(
+            data_dir, store, rs_len=RS_LEN, segment_shift=1.0, rate=16000, zero_ratio=0.8, is_train=True, seed=0
+        )
+        assert len(ds) >= 10
+        trainer = Trainer(
+            _loss_fn(model), TrainerConfig(schedule="const", learning_rate=1e-3, grad_clip_norm=5.0), has_mutable=True
+        )
+        state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
+        losses = []
+        epoch = 0
+        while len(losses) < 30:
+            for b in tsvad_batch_iterator(ds, 4, shuffle=True, seed=0, epoch=epoch):
+                state, aux = trainer.train_step(state, b)
+                losses.append(float(aux["loss"]))
+                if len(losses) >= 30:
+                    break
+            epoch += 1
+        assert np.mean(losses[-5:]) < 0.9 * np.mean(losses[:3]), f"{losses[:3]} → {losses[-5:]}"
+
+        # overlapped-window inference with voting
+        eval_ds = TSVADChunkDataset(
+            data_dir, store, rs_len=RS_LEN, segment_shift=0.5, rate=16000, is_train=False, seed=0
+        )
+        T = int(RS_LEN * 25)
+
+        @jax.jit
+        def predict(audio, embs):
+            logits = model.apply(
+                {"params": state.params, **state.mutable}, audio, embs, T, train=False
+            )
+            return jax.nn.sigmoid(logits)
+
+        probs = tsvad_infer_dataset(lambda a, e: predict(jnp.asarray(a), jnp.asarray(e)), eval_ds, batch_size=8)
+        turns = []
+        for rec, p in probs.items():
+            assert np.isfinite(p).all()
+            turns += probs_to_turns(p, rec, 1.0 / 25, threshold=0.5, median=11, speakers=eval_ds.rec_speakers[rec])
+        hyp = tmp_path / "hyp.rttm"
+        write_rttm(hyp, turns)
+        res = score_der(os.path.join(data_dir, "rttm"), str(hyp), collar=0.25)
+        assert res.scored_speaker_time > 0
+        assert res.der < 1.0, f"DER {res.der:.3f}"
