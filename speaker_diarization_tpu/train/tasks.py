@@ -1,0 +1,104 @@
+"""Task loss functions plugged into the unified Trainer.
+
+One place for the per-family training objectives (reference spreads these
+across four harnesses): EEND PIT-BCE, EEND-EDA PIT + attractor existence,
+TS-VAD per-speaker BCE. Each factory returns a loss_fn with the Trainer's
+expected signature.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import losses as L
+from ..ops import metrics as M
+
+
+def make_eend_loss(model):
+    """loss_fn for EENDModel: PIT-BCE with masks; aux carries frame-DER."""
+
+    def loss_fn(params, batch, rng, train):
+        logits = model.apply(
+            params,
+            batch["audio"],
+            frame_mask=batch["frame_mask"],
+            deterministic=not train,
+            rngs={"dropout": rng} if train else None,
+        )
+        loss, labels_perm, _ = L.pit_loss(
+            logits, batch["labels"], frame_mask=batch["frame_mask"], spk_mask=batch.get("spk_mask")
+        )
+        stats = M.diarization_error_stats(logits, labels_perm, batch["frame_mask"])
+        return loss, {"frame_der": M.der_from_stats(stats)}
+
+    return loss_fn
+
+
+def make_eda_loss(model, attractor_weight: float = 1.0, shuffle_frames: bool = True):
+    """loss_fn for EendEdaModel: PIT-BCE + attractor existence BCE.
+
+    Reference: eend_eda/models.py:654-692 (attractor_loss) + 694 (pit_loss),
+    with train-time frame shuffling before the EDA LSTM (models.py:531-536).
+    """
+
+    def loss_fn(params, batch, rng, train):
+        order = None
+        rngs = None
+        if train:
+            rng_d, rng_s = jax.random.split(rng)
+            rngs = {"dropout": rng_d}
+            if shuffle_frames:
+                B, T = batch["frame_mask"].shape
+                # per-sample random permutation of frame order
+                noise = jax.random.uniform(rng_s, (B, T)) - batch["frame_mask"]
+                order = jnp.argsort(noise, axis=-1)  # valid frames first, shuffled
+        logits, exist_logits = model.apply(
+            params,
+            batch["audio"],
+            frame_mask=batch["frame_mask"],
+            order=order,
+            deterministic=not train,
+            rngs=rngs,
+        )
+        pit, labels_perm, _ = L.pit_loss(
+            logits, batch["labels"], frame_mask=batch["frame_mask"], spk_mask=batch.get("spk_mask")
+        )
+        att = L.attractor_existence_loss(exist_logits, batch["spk_mask"])
+        stats = M.diarization_error_stats(logits, labels_perm, batch["frame_mask"])
+        return pit + attractor_weight * att, {
+            "pit_loss": pit,
+            "attractor_loss": att,
+            "frame_der": M.der_from_stats(stats),
+        }
+
+    return loss_fn
+
+
+def make_tsvad_loss(model, n_label_frames: int):
+    """loss_fn (has_mutable=True) for TSVADModel: masked per-speaker BCE."""
+
+    def loss_fn(params, mutable, batch, rng, train):
+        if train:
+            logits, new_mut = model.apply(
+                {"params": params, **mutable},
+                batch["audio"],
+                batch["target_embs"],
+                n_label_frames,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            new_mut = dict(new_mut)
+        else:
+            logits = model.apply(
+                {"params": params, **mutable}, batch["audio"], batch["target_embs"], n_label_frames, train=False
+            )
+            new_mut = mutable
+        loss = L.standard_bce(logits, batch["labels"])
+        stats = M.diarization_error_stats(logits, batch["labels"])
+        return loss, ({"frame_der": M.der_from_stats(stats)}, new_mut)
+
+    return loss_fn
