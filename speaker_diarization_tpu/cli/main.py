@@ -1,0 +1,461 @@
+"""Command-line interface: simulate / train / infer / score / extract-embeddings.
+
+The TPU-native replacement for the reference's numbered-stage shell recipes
+(`egs/*/run_*.sh`): each stage is a subcommand over the library, driven by
+one YAML config + dotted overrides instead of per-recipe argparse forests.
+
+    python -m speaker_diarization_tpu.cli simulate --out /tmp/corpus ...
+    python -m speaker_diarization_tpu.cli train --family eend --train-dir ...
+    python -m speaker_diarization_tpu.cli infer --family eend --ckpt ...
+    python -m speaker_diarization_tpu.cli score --ref ref.rttm --sys hyp.rttm -c 0.25
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import sys
+from typing import Optional
+
+
+def _setup_logging(verbose: bool):
+    logging.basicConfig(
+        level=logging.DEBUG if verbose else logging.INFO,
+        format="%(asctime)s %(levelname)s [%(name)s] %(message)s",
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainCliConfig:
+    family: str = "eend"  # eend | eend_eda | tsvad
+    # model
+    n_speakers: int = 2
+    max_attractors: int = 15
+    d_model: int = 256
+    n_layers: int = 4
+    n_heads: int = 4
+    d_ff: int = 1024
+    dropout: float = 0.1
+    bf16: bool = False
+    remat: bool = False
+    # frontend (EEND family)
+    sample_rate: int = 8000
+    frame_size: int = 200
+    frame_shift: int = 80
+    n_mels: int = 23
+    context_size: int = 7
+    subsampling: int = 10
+    chunk_frames: int = 500
+    # tsvad
+    rs_len: float = 4.0
+    segment_shift: float = 2.0
+    # optimization
+    batch_size: int = 16
+    num_steps: int = 10000
+    optimizer: str = "adam"
+    schedule: str = "noam"
+    learning_rate: float = 1.0
+    warmup_steps: int = 25000
+    grad_clip_norm: float = 5.0
+    grad_accum_steps: int = 1
+    model_avg_decay: float = 0.0
+    seed: int = 777
+    # loop
+    log_every: int = 50
+    valid_every: int = 500
+    n_data: int = 0  # 0 = all devices
+
+
+def _frontend_from_cfg(cfg: TrainCliConfig):
+    from ..models.eend import FrontendConfig
+
+    return FrontendConfig(
+        sample_rate=cfg.sample_rate,
+        frame_size=cfg.frame_size,
+        frame_shift=cfg.frame_shift,
+        n_mels=cfg.n_mels,
+        context_size=cfg.context_size,
+        subsampling=cfg.subsampling,
+    )
+
+
+def _build_model(cfg: TrainCliConfig):
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    common = dict(
+        d_model=cfg.d_model, n_layers=cfg.n_layers, n_heads=cfg.n_heads,
+        d_ff=cfg.d_ff, dropout=cfg.dropout, remat=cfg.remat, dtype=dtype,
+    )
+    if cfg.family == "eend":
+        from ..models import EENDModel
+
+        return EENDModel(n_speakers=cfg.n_speakers, frontend=_frontend_from_cfg(cfg), **common)
+    if cfg.family == "eend_eda":
+        from ..models import EendEdaModel
+
+        return EendEdaModel(
+            n_speakers=cfg.n_speakers, max_attractors=cfg.max_attractors,
+            frontend=_frontend_from_cfg(cfg), **common,
+        )
+    if cfg.family == "tsvad":
+        from ..models import TSVADConfig, TSVADModel
+
+        return TSVADModel(
+            cfg=TSVADConfig(
+                max_num_speaker=cfg.n_speakers if cfg.n_speakers > 2 else 4,
+                num_transformer_layer=cfg.n_layers,
+                num_attention_head=cfg.n_heads,
+                transformer_ffn_embed_dim=cfg.d_ff,
+                dropout=cfg.dropout,
+                sample_rate=cfg.sample_rate,
+            ),
+            remat_encoder=cfg.remat,
+            dtype=dtype,
+        )
+    raise ValueError(f"unknown family {cfg.family}")
+
+
+def cmd_train(args) -> int:
+    from ..utils.config import apply_overrides, from_dict, load_yaml
+
+    cfg = load_yaml(TrainCliConfig, args.config) if args.config else TrainCliConfig()
+    if args.family:
+        cfg = dataclasses.replace(cfg, family=args.family)
+    if args.set:
+        cfg = apply_overrides(cfg, args.set)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel import make_mesh
+    from ..train import Trainer, TrainerConfig
+    from ..train.checkpoints import CheckpointManager
+    from ..train.loop import run_training
+    from ..train import tasks
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = make_mesh(n_data=cfg.n_data or None)
+
+    tcfg = TrainerConfig(
+        optimizer=cfg.optimizer, learning_rate=cfg.learning_rate, schedule=cfg.schedule,
+        d_model=cfg.d_model, warmup_steps=cfg.warmup_steps, total_steps=cfg.num_steps,
+        grad_clip_norm=cfg.grad_clip_norm, grad_accum_steps=cfg.grad_accum_steps,
+        model_avg_decay=cfg.model_avg_decay or None, seed=cfg.seed,
+    )
+    model = _build_model(cfg)
+
+    if cfg.family in ("eend", "eend_eda"):
+        from ..data.eend_dataset import EendChunkDataset, batch_iterator
+
+        fe = _frontend_from_cfg(cfg)
+        train_ds = EendChunkDataset(args.train_dir, cfg.chunk_frames, fe, cfg.n_speakers)
+        valid_ds = EendChunkDataset(args.valid_dir, cfg.chunk_frames, fe, cfg.n_speakers) if args.valid_dir else None
+        loss_fn = tasks.make_eend_loss(model) if cfg.family == "eend" else tasks.make_eda_loss(model)
+        trainer = Trainer(loss_fn, tcfg, mesh=mesh)
+        b0 = next(batch_iterator(train_ds, cfg.batch_size, shuffle=False))
+        params = model.init(jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]))
+        state = trainer.init_state(params)
+        make_train = lambda ep: batch_iterator(train_ds, cfg.batch_size, True, cfg.seed, epoch=ep)  # noqa: E731
+        make_valid = (lambda: batch_iterator(valid_ds, cfg.batch_size, False)) if valid_ds else None
+    elif cfg.family == "tsvad":
+        from ..data.tsvad_dataset import TSVADChunkDataset, tsvad_batch_iterator
+        from ..infer.embeddings import EmbeddingStore
+
+        store = EmbeddingStore.load(args.emb_store)
+        train_ds = TSVADChunkDataset(
+            args.train_dir, store, rs_len=cfg.rs_len, segment_shift=cfg.segment_shift,
+            rate=cfg.sample_rate, is_train=True, seed=cfg.seed,
+            noise_dir=args.noise_dir, rir_dir=args.rir_dir,
+        )
+        valid_ds = (
+            TSVADChunkDataset(
+                args.valid_dir, store, rs_len=cfg.rs_len, segment_shift=cfg.rs_len,
+                rate=cfg.sample_rate, is_train=False,
+            )
+            if args.valid_dir
+            else None
+        )
+        T = int(cfg.rs_len * 25)
+        loss_fn = tasks.make_tsvad_loss(model, T)
+        trainer = Trainer(loss_fn, tcfg, mesh=mesh, has_mutable=True)
+        b0 = next(tsvad_batch_iterator(train_ds, cfg.batch_size, shuffle=False))
+        variables = model.init(
+            jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]), jnp.asarray(b0["target_embs"]), T
+        )
+        if args.encoder_ckpt:
+            from ..utils.torch_convert import load_campplus_checkpoint
+
+            enc_p, enc_s = load_campplus_checkpoint(args.encoder_ckpt)
+            variables["params"]["speech_encoder"] = enc_p
+            variables["batch_stats"]["speech_encoder"] = enc_s
+            logging.info("loaded pretrained speech encoder from %s", args.encoder_ckpt)
+        state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
+        make_train = lambda ep: tsvad_batch_iterator(train_ds, cfg.batch_size, True, cfg.seed, epoch=ep)  # noqa: E731
+        make_valid = (lambda: tsvad_batch_iterator(valid_ds, cfg.batch_size, False)) if valid_ds else None
+    else:
+        raise ValueError(cfg.family)
+
+    mgr = CheckpointManager(args.exp_dir, max_to_keep=args.max_to_keep)
+    state = run_training(
+        trainer, state, make_train, cfg.num_steps, make_valid, mgr,
+        log_every=cfg.log_every, valid_every=cfg.valid_every,
+        metrics_path=os.path.join(args.exp_dir, "metrics.jsonl"),
+    )
+    logging.info("training done at step %d; checkpoints in %s", int(jax.device_get(state.step)), args.exp_dir)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+
+
+def cmd_simulate(args) -> int:
+    from ..data import simulate as S
+
+    if args.source_dir:
+        specs = S.random_mixture_specs(
+            args.source_dir, args.noise_dir, args.rir_dir,
+            n_mixtures=args.n_mixtures, n_speakers=args.n_speakers,
+            sil_scale=args.sil_scale, seed=args.seed,
+        )
+        out = S.make_mixtures(specs, os.path.join(args.out, "data"), os.path.join(args.out, "wav"), args.rate)
+    else:
+        out = S.simulate_corpus(
+            args.out, n_mixtures=args.n_mixtures, n_speakers=args.n_speakers,
+            rate=args.rate, seed=args.seed, sil_scale=args.sil_scale,
+        )
+    print(out)
+    return 0
+
+
+def cmd_score(args) -> int:
+    from ..score import score_der
+    from ..score.cder import score_cder
+
+    res = score_der(args.ref, args.sys, collar=args.collar, overlap_limit=args.overlap_limit)
+    # reference md-eval (modified) prints the bare DER/MS/FA/SC line
+    print(f"{100*res.der:.2f}/{100*res.miss_rate:.2f}/{100*res.falarm_rate:.2f}/{100*res.confusion_rate:.2f}")
+    if args.per_file:
+        for rec, r in res.per_file.items():
+            print(f"  {rec}: {r.summary()}")
+    if args.cder:
+        out = score_cder(args.ref, args.sys)
+        print("CDER avg = {:.3f}".format(out["avg"]))
+    return 0
+
+
+def cmd_extract_embeddings(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.kaldi_io import KaldiData
+    from ..infer.embeddings import EmbeddingStore, chunk_embeddings
+    from ..models import CAMPPlus
+    from ..ops import features as F
+    from ..utils.torch_convert import load_campplus_checkpoint
+
+    camp = CAMPPlus()
+    if args.encoder_ckpt:
+        params, stats = load_campplus_checkpoint(args.encoder_ckpt)
+        variables = {"params": params, "batch_stats": stats}
+    else:
+        variables = camp.init(jax.random.PRNGKey(0), jnp.zeros((1, 198, 80), jnp.float32), False, "embedding")
+        logging.warning("no --encoder-ckpt: using random encoder weights")
+
+    @jax.jit
+    def embed(b):
+        fb = F.kaldi_fbank_jax(jnp.asarray(b), sample_rate=args.rate, mean_norm=True)
+        return camp.apply(variables, fb, False, "embedding")
+
+    kd = KaldiData(args.data_dir)
+    store = EmbeddingStore()
+    # target wavs laid out as rec/spk.wav (AliMeeting prep) or via utt2spk
+    for rec in sorted(kd.wavs):
+        audio, rate = kd.load_wav(rec)
+        if audio.ndim > 1:
+            audio = audio[:, 0]
+        if "/" in rec:
+            meeting, spk = rec.rsplit("/", 1)
+        elif "-" in rec:
+            meeting, spk = rec.rsplit("-", 1)
+        else:
+            meeting, spk = rec, rec
+        m = chunk_embeddings(lambda b: embed(b), audio, rate, window_s=args.window, hop_s=args.hop)
+        store.put(meeting, spk, m)
+    store.save(args.out)
+    print(args.out)
+    return 0
+
+
+def cmd_infer(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.rttm import write_rttm
+    from ..postproc import probs_to_turns
+    from ..utils.config import apply_overrides, load_yaml
+
+    cfg = load_yaml(TrainCliConfig, args.config) if args.config else TrainCliConfig()
+    if args.family:
+        cfg = dataclasses.replace(cfg, family=args.family)
+    if args.set:
+        cfg = apply_overrides(cfg, args.set)
+
+    model = _build_model(cfg)
+    from ..train import Trainer, TrainerConfig
+    from ..train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(args.exp_dir)
+    step = args.step or mgr.best_step() or mgr.latest_step()
+    state = mgr.restore(step)
+    params = state["params"] if isinstance(state, dict) else state.params
+    mutable = state.get("mutable") if isinstance(state, dict) else state.mutable
+    logging.info("restored step %s", step)
+
+    fe = _frontend_from_cfg(cfg)
+    fs = fe.frame_shift * fe.subsampling / fe.sample_rate
+    turns = []
+    if cfg.family == "eend":
+        from ..infer import infer_dataset
+
+        @jax.jit
+        def predict(a, m):
+            logits = model.apply(params, a, frame_mask=m, deterministic=True)
+            return jax.nn.sigmoid(logits) * m[..., None]
+
+        probs = infer_dataset(
+            lambda a, m: predict(jnp.asarray(a), jnp.asarray(m)), args.data_dir, fe, cfg.chunk_frames
+        )
+    elif cfg.family == "eend_eda":
+        from ..infer import eda_infer_dataset
+
+        @jax.jit
+        def predict(a, m):
+            logits, exist = model.apply(params, a, frame_mask=m, deterministic=True, method=model.infer)
+            return jax.nn.sigmoid(logits) * m[..., None], exist
+
+        probs = eda_infer_dataset(
+            lambda a, m: predict(jnp.asarray(a), jnp.asarray(m)), args.data_dir, fe,
+            cfg.chunk_frames, threshold=args.attractor_threshold,
+        )
+    elif cfg.family == "tsvad":
+        from ..data.tsvad_dataset import TSVADChunkDataset
+        from ..infer import tsvad_infer_dataset
+        from ..infer.embeddings import EmbeddingStore
+
+        store = EmbeddingStore.load(args.emb_store)
+        ds = TSVADChunkDataset(
+            args.data_dir, store, rs_len=cfg.rs_len, segment_shift=args.infer_shift,
+            rate=cfg.sample_rate, is_train=False,
+        )
+        T = int(cfg.rs_len * 25)
+
+        @jax.jit
+        def predict(a, e):
+            logits = model.apply({"params": params, **(mutable or {})}, a, e, T, train=False)
+            return jax.nn.sigmoid(logits)
+
+        probs = tsvad_infer_dataset(lambda a, e: predict(jnp.asarray(a), jnp.asarray(e)), ds)
+        fs = 1.0 / 25
+        for rec, p in probs.items():
+            turns += probs_to_turns(
+                p, rec, fs, threshold=args.threshold, median=args.median, speakers=ds.rec_speakers[rec]
+            )
+        write_rttm(args.out, turns)
+        print(args.out)
+        return 0
+    else:
+        raise ValueError(cfg.family)
+
+    for rec, p in probs.items():
+        turns += probs_to_turns(p, rec, fs, threshold=args.threshold, median=args.median)
+    write_rttm(args.out, turns)
+    print(args.out)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="speaker_diarization_tpu")
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("simulate", help="build a simulated multi-talker corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--source-dir", help="Kaldi dir of single-speaker utts (default: synthetic voices)")
+    s.add_argument("--noise-dir")
+    s.add_argument("--rir-dir")
+    s.add_argument("--n-mixtures", type=int, default=10)
+    s.add_argument("--n-speakers", type=int, default=2)
+    s.add_argument("--sil-scale", type=float, default=2.0)
+    s.add_argument("--rate", type=int, default=8000)
+    s.add_argument("--seed", type=int, default=777)
+    s.set_defaults(fn=cmd_simulate)
+
+    t = sub.add_parser("train", help="train a diarization model")
+    t.add_argument("--family", choices=["eend", "eend_eda", "tsvad"])
+    t.add_argument("--config", help="YAML config (TrainCliConfig fields)")
+    t.add_argument("--set", action="append", default=[], help="dotted overrides key=value")
+    t.add_argument("--train-dir", required=True)
+    t.add_argument("--valid-dir")
+    t.add_argument("--exp-dir", required=True)
+    t.add_argument("--emb-store", help="tsvad: embedding npz")
+    t.add_argument("--encoder-ckpt", help="tsvad: pretrained CAM++ torch checkpoint")
+    t.add_argument("--noise-dir")
+    t.add_argument("--rir-dir")
+    t.add_argument("--max-to-keep", type=int, default=5)
+    t.set_defaults(fn=cmd_train)
+
+    i = sub.add_parser("infer", help="run chunked inference → RTTM")
+    i.add_argument("--family", choices=["eend", "eend_eda", "tsvad"])
+    i.add_argument("--config")
+    i.add_argument("--set", action="append", default=[])
+    i.add_argument("--data-dir", required=True)
+    i.add_argument("--exp-dir", required=True)
+    i.add_argument("--step", type=int)
+    i.add_argument("--out", required=True)
+    i.add_argument("--threshold", type=float, default=0.5)
+    i.add_argument("--median", type=int, default=11)
+    i.add_argument("--attractor-threshold", type=float, default=0.5)
+    i.add_argument("--emb-store")
+    i.add_argument("--infer-shift", type=float, default=1.0)
+    i.set_defaults(fn=cmd_infer)
+
+    sc = sub.add_parser("score", help="score hypothesis RTTM (DER + optional CDER)")
+    sc.add_argument("--ref", required=True)
+    sc.add_argument("--sys", required=True)
+    sc.add_argument("-c", "--collar", type=float, default=0.25)
+    sc.add_argument("-1", "--overlap-limit", action="store_true")
+    sc.add_argument("--per-file", action="store_true")
+    sc.add_argument("--cder", action="store_true")
+    sc.set_defaults(fn=cmd_score)
+
+    e = sub.add_parser("extract-embeddings", help="dump target-speaker embeddings to npz")
+    e.add_argument("--data-dir", required=True, help="Kaldi dir of per-speaker target wavs")
+    e.add_argument("--out", required=True)
+    e.add_argument("--encoder-ckpt")
+    e.add_argument("--rate", type=int, default=16000)
+    e.add_argument("--window", type=float, default=6.0)
+    e.add_argument("--hop", type=float, default=1.0)
+    e.set_defaults(fn=cmd_extract_embeddings)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    _setup_logging(args.verbose)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

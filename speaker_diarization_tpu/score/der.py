@@ -201,14 +201,75 @@ def _overlap_regions(ref: Dict[str, List[Interval]]) -> List[Interval]:
     return out
 
 
+def score_file_native(
+    ref_turns: Sequence[Turn],
+    sys_turns: Sequence[Turn],
+    collar: float = 0.0,
+    uem: Optional[List[Interval]] = None,
+    overlap_limit: bool = False,
+) -> Optional[Tuple[DerResult, Dict[str, str]]]:
+    """C++ fast path (score/native/der_core.cpp); None if lib unavailable."""
+    import ctypes
+
+    from .native_build import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    ref_spks = sorted({t.speaker for t in ref_turns if t.dur > 0})
+    sys_spks = sorted({t.speaker for t in sys_turns if t.dur > 0})
+    r_idx = {s: i for i, s in enumerate(ref_spks)}
+    s_idx = {s: i for i, s in enumerate(sys_spks)}
+
+    def arrs(turns, idx):
+        ts = [t for t in turns if t.dur > 0]
+        st = np.array([t.start for t in ts], np.float64)
+        en = np.array([t.end for t in ts], np.float64)
+        sp = np.array([idx[t.speaker] for t in ts], np.int32)
+        return st, en, sp
+
+    rs, re_, rk = arrs(ref_turns, r_idx)
+    ss, se, sk = arrs(sys_turns, s_idx)
+    if uem:
+        us = np.array([s for s, _ in uem], np.float64)
+        ue = np.array([e for _, e in uem], np.float64)
+    else:
+        us = np.zeros(0, np.float64)
+        ue = np.zeros(0, np.float64)
+    out = np.zeros(8, np.float64)
+    omap = np.full(max(len(ref_spks), 1), -1, np.int32)
+
+    D = ctypes.POINTER(ctypes.c_double)
+    I = ctypes.POINTER(ctypes.c_int32)
+    lib.sdt_score_der_file(
+        rs.ctypes.data_as(D), re_.ctypes.data_as(D), rk.ctypes.data_as(I), len(rs), len(ref_spks),
+        ss.ctypes.data_as(D), se.ctypes.data_as(D), sk.ctypes.data_as(I), len(ss), len(sys_spks),
+        us.ctypes.data_as(D), ue.ctypes.data_as(D), len(us),
+        float(collar), int(overlap_limit),
+        out.ctypes.data_as(D), omap.ctypes.data_as(I),
+    )
+    res = DerResult(
+        scored_speaker_time=out[0], missed_speaker_time=out[1], falarm_speaker_time=out[2],
+        speaker_error_time=out[3], scored_time=out[4], scored_speech=out[5],
+        missed_speech=out[6], falarm_speech=out[7],
+    )
+    spkr_map = {ref_spks[i]: sys_spks[omap[i]] for i in range(len(ref_spks)) if omap[i] >= 0}
+    return res, spkr_map
+
+
 def score_file(
     ref_turns: Sequence[Turn],
     sys_turns: Sequence[Turn],
     collar: float = 0.0,
     uem: Optional[List[Interval]] = None,
     overlap_limit: bool = False,
+    use_native: bool = True,
 ) -> Tuple[DerResult, Dict[str, str]]:
     """Score one recording. Returns (stats, ref→sys speaker map)."""
+    if use_native:
+        native = score_file_native(ref_turns, sys_turns, collar, uem, overlap_limit)
+        if native is not None:
+            return native
     ref = _merge_speaker_turns(ref_turns)
     sys = _merge_speaker_turns(sys_turns)
 

@@ -1,0 +1,94 @@
+"""Generic training loop: epochs, periodic validation, checkpointing, logging.
+
+One loop for every family (reference equivalents: eend_train.py:21-222,
+train_accelerate_ddp2.py:556-700). Metrics stream to stdout and a JSONL
+file; checkpoints go through train.checkpoints.CheckpointManager with
+best-by-valid-loss retention.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from .checkpoints import CheckpointManager
+from .trainer import Trainer, TrainState
+
+log = logging.getLogger(__name__)
+
+
+def run_training(
+    trainer: Trainer,
+    state: TrainState,
+    make_train_iter: Callable[[int], Iterator[dict]],
+    num_steps: int,
+    make_valid_iter: Optional[Callable[[], Iterator[dict]]] = None,
+    ckpt_manager: Optional[CheckpointManager] = None,
+    log_every: int = 50,
+    valid_every: int = 500,
+    save_every: Optional[int] = None,
+    metrics_path: Optional[str] = None,
+) -> TrainState:
+    save_every = save_every or valid_every
+    mf = open(metrics_path, "a") if metrics_path else None
+    step = int(np.asarray(state.step))
+    epoch = 0
+    t0 = time.time()
+    window = []
+    try:
+        while step < num_steps:
+            for batch in make_train_iter(epoch):
+                state, aux = trainer.train_step(state, batch)
+                step += 1
+                window.append(float(aux["loss"]))
+                if step % log_every == 0:
+                    dt = time.time() - t0
+                    msg = {
+                        "step": step,
+                        "epoch": epoch,
+                        "loss": round(float(np.mean(window)), 5),
+                        "lr": round(float(aux["lr"]), 7),
+                        "grad_norm": round(float(aux["grad_norm"]), 4),
+                        "steps_per_s": round(log_every / max(dt, 1e-9), 3),
+                    }
+                    for k, v in aux.items():
+                        if k not in ("loss", "lr", "grad_norm"):
+                            msg[k] = round(float(v), 5)
+                    log.info("train %s", msg)
+                    if mf:
+                        mf.write(json.dumps({"kind": "train", **msg}) + "\n")
+                        mf.flush()
+                    window = []
+                    t0 = time.time()
+                if make_valid_iter is not None and step % valid_every == 0:
+                    vloss = validate(trainer, state, make_valid_iter())
+                    log.info("valid step=%d loss=%.5f", step, vloss)
+                    if mf:
+                        mf.write(json.dumps({"kind": "valid", "step": step, "loss": vloss}) + "\n")
+                        mf.flush()
+                    if ckpt_manager is not None:
+                        ckpt_manager.save(state, metric=vloss)
+                elif ckpt_manager is not None and step % save_every == 0:
+                    ckpt_manager.save(state)
+                if step >= num_steps:
+                    break
+            epoch += 1
+    finally:
+        if mf:
+            mf.close()
+    if ckpt_manager is not None:
+        ckpt_manager.save(state)
+    return state
+
+
+def validate(trainer: Trainer, state: TrainState, batches: Iterator[dict]) -> float:
+    losses = []
+    for b in batches:
+        aux = trainer.eval_step(state.params, b, mutable=state.mutable)
+        losses.append(float(aux["loss"]))
+    return float(np.mean(losses)) if losses else float("nan")
