@@ -53,6 +53,9 @@ class EendChunkDataset:
         self.rec_speakers: Dict[str, List[str]] = {}
         for rec, segs in self.kd.segments.items():
             self.rec_speakers[rec] = sorted({self.kd.utt2spk[s["utt"]] for s in segs})
+        # global speaker ids (EEND-VC speaker-table targets)
+        self.all_speakers: List[str] = sorted({s for ss in self.rec_speakers.values() for s in ss})
+        self.spk_to_gid = {s: i for i, s in enumerate(self.all_speakers)}
 
         self.chunks: List[ChunkIndexEntry] = []
         for rec in sorted(self.kd.wavs):
@@ -100,10 +103,12 @@ class EendChunkDataset:
         C = self.n_speakers
         labels = np.zeros((T, C), dtype=np.float32)
         spk_mask = np.zeros((C,), dtype=np.float32)
+        spk_ids = np.full((C,), -1, dtype=np.int32)
         for out_c, src_c in enumerate(active[:C]):
             labels[:, out_c] = full[:, src_c]
             spk_mask[out_c] = 1.0
-        return labels, spk_mask
+            spk_ids[out_c] = self.spk_to_gid[speakers[src_c]]
+        return labels, spk_mask, spk_ids
 
     def __getitem__(self, idx: int) -> dict:
         e = self.chunks[idx]
@@ -114,7 +119,7 @@ class EendChunkDataset:
         want = (end_raw - start_raw) * shift
         if len(audio) < want:  # pad tail of recording
             audio = np.pad(audio, (0, want - len(audio)))
-        labels_raw, spk_mask = self.labels_for_window(e.rec, start_raw, end_raw)
+        labels_raw, spk_mask, spk_ids = self.labels_for_window(e.rec, start_raw, end_raw)
         labels = labels_raw[::ss]
         T = e.end_sub - e.start_sub
         frame_mask = np.ones((T,), dtype=np.float32)
@@ -123,6 +128,7 @@ class EendChunkDataset:
             labels=labels,
             frame_mask=frame_mask,
             spk_mask=spk_mask,
+            spk_ids=spk_ids,
             rec=e.rec,
             start_sub=e.start_sub,
         )
@@ -156,4 +162,5 @@ def batch_iterator(
             labels=np.stack([it["labels"] for it in items]),
             frame_mask=np.stack([it["frame_mask"] for it in items]),
             spk_mask=np.stack([it["spk_mask"] for it in items]),
+            spk_ids=np.stack([it["spk_ids"] for it in items]),
         )

@@ -77,6 +77,43 @@ def make_eda_loss(model, attractor_weight: float = 1.0, shuffle_frames: bool = T
     return loss_fn
 
 
+def make_eend_vc_loss(model, spk_loss_weight: float = 1.0):
+    """loss_fn for EENDVCModel: PIT-BCE + global-speaker distance-softmax CE.
+
+    Reference: eend_vector_cluster/models_vector_cluster.py:24-72 (pit) +
+    159-192 (spk_loss): channels carrying speech are classified against the
+    learned global speaker table under the best PIT permutation.
+    """
+
+    def loss_fn(params, batch, rng, train):
+        logits, vecs = model.apply(
+            params,
+            batch["audio"],
+            frame_mask=batch["frame_mask"],
+            deterministic=not train,
+            rngs={"dropout": rng} if train else None,
+        )
+        pit, labels_perm, best_perm = L.pit_loss(
+            logits, batch["labels"], frame_mask=batch["frame_mask"], spk_mask=batch.get("spk_mask")
+        )
+        # channel i's label column is best_perm[b, i] → its global speaker id
+        gids = jnp.take_along_axis(batch["spk_ids"], best_perm, axis=-1)  # (B, S)
+        has_speech = jnp.sum(labels_perm, axis=1) > 0  # (B, S)
+        valid = has_speech & (gids >= 0)
+        table_logits = model.apply(params, vecs, method=model.spk_distance_logits)  # (B, S, N)
+        logp = jax.nn.log_softmax(table_logits, axis=-1)
+        picked = jnp.take_along_axis(logp, jnp.maximum(gids, 0)[..., None], axis=-1)[..., 0]
+        spk = -jnp.sum(picked * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        stats = M.diarization_error_stats(logits, labels_perm, batch["frame_mask"])
+        return pit + spk_loss_weight * spk, {
+            "pit_loss": pit,
+            "spk_loss": spk,
+            "frame_der": M.der_from_stats(stats),
+        }
+
+    return loss_fn
+
+
 def make_tsvad_loss(model, n_label_frames: int):
     """loss_fn (has_mutable=True) for TSVADModel: masked per-speaker BCE."""
 
