@@ -73,26 +73,46 @@ class FeedForward(nn.Module):
 
 
 class TransformerEncoderLayer(nn.Module):
-    """Post-norm encoder layer (torch nn.TransformerEncoderLayer semantics)."""
+    """Post-norm encoder layer (torch nn.TransformerEncoderLayer semantics).
+
+    Besides the full-sequence `__call__`, `streaming()` runs the same
+    parameters in cache-attention form (Q = current chunk, KV = cached
+    window ‖ chunk) for chunk-by-chunk decoding.
+    """
 
     n_heads: int
     d_ff: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
-        d_model = x.shape[-1]
-        attn = nn.MultiHeadDotProductAttention(
+    def setup(self):
+        # names match the previous nn.compact auto-naming for checkpoint
+        # stability
+        self.attn = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads,
-            qkv_features=d_model,
             dropout_rate=self.dropout,
             dtype=self.dtype,
-        )(x, x, mask=mask, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype)(x + nn.Dropout(self.dropout)(attn, deterministic=deterministic))
-        ff = FeedForward(self.d_ff, self.dropout, self.dtype)(x, deterministic)
-        x = nn.LayerNorm(dtype=self.dtype)(x + nn.Dropout(self.dropout)(ff, deterministic=deterministic))
+            name="MultiHeadDotProductAttention_0",
+        )
+        self.ln1 = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_0")
+        self.ff = FeedForward(self.d_ff, self.dropout, self.dtype, name="FeedForward_0")
+        self.ln2 = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_1")
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        attn = self.attn(x, x, mask=mask, deterministic=deterministic)
+        x = self.ln1(x + self.drop(attn, deterministic=deterministic))
+        ff = self.ff(x, deterministic)
+        x = self.ln2(x + self.drop(ff, deterministic=deterministic))
         return x
+
+    def streaming(self, x_q, x_kv, mask=None):
+        """Chunk decode: queries = x_q (B, C, D), keys/values = x_kv
+        (B, L+C, D); mask (B, 1, C, L+C) marks valid KV columns."""
+        attn = self.attn(x_q, x_kv, mask=mask, deterministic=True)
+        x = self.ln1(x_q + attn)
+        ff = self.ff(x, True)
+        return self.ln2(x + ff)
 
 
 class TransformerEncoder(nn.Module):

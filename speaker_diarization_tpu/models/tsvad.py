@@ -44,6 +44,10 @@ class TSVADConfig:
     label_rate: int = 25
     feat_dim: int = 80  # fbank bins fed to CAM++
     encoder_block_layers: tuple = (12, 24, 16)  # CAM++ depth; shrink for tests
+    single_backend_type: str = "transformer"  # transformer | mamba | mamba_add
+    multi_backend_type: str = "transformer"
+    d_state: int = 64  # mamba state size (reference mamba2 cfg)
+    expand: int = 2
 
 
 class BackendTransformer(nn.Module):
@@ -104,25 +108,35 @@ class TSVADModel(nn.Module):
             self.proj_layer = nn.Dense(c.transformer_embed_dim, dtype=self.dtype)
         else:
             self.proj_layer = None
-        self.single_backend = BackendTransformer(
-            d_model=c.transformer_embed_dim,
-            n_layers=c.num_transformer_layer,
-            n_heads=c.num_attention_head,
-            d_ff=c.transformer_ffn_embed_dim,
-            dropout=c.dropout,
-            dtype=self.dtype,
-        )
+        self.single_backend = self._make_backend(c.single_backend_type)
         self.backend_down = ConvBnRelu(c.transformer_embed_dim, kernel=5, stride=1, dtype=self.dtype)
-        self.multi_backend = BackendTransformer(
-            d_model=c.transformer_embed_dim,
-            n_layers=c.num_transformer_layer,
-            n_heads=c.num_attention_head,
-            d_ff=c.transformer_ffn_embed_dim,
-            dropout=c.dropout,
-            dtype=self.dtype,
-        )
+        self.multi_backend = self._make_backend(c.multi_backend_type)
         self.fc = nn.Dense(c.max_num_speaker, dtype=self.dtype)
         self.rs_dropout = nn.Dropout(self.cfg.dropout)
+
+    def _make_backend(self, kind: str):
+        c = self.cfg
+        if kind == "transformer":
+            return BackendTransformer(
+                d_model=c.transformer_embed_dim,
+                n_layers=c.num_transformer_layer,
+                n_heads=c.num_attention_head,
+                d_ff=c.transformer_ffn_embed_dim,
+                dropout=c.dropout,
+                dtype=self.dtype,
+            )
+        if kind in ("mamba", "mamba_add"):
+            from .mamba import BiMambaBlock
+
+            return BiMambaBlock(
+                d_model=c.transformer_embed_dim,
+                n_layer=c.num_transformer_layer,
+                d_state=c.d_state,
+                expand=c.expand,
+                merge="add" if kind == "mamba_add" else "concat",
+                dtype=self.dtype,
+            )
+        raise ValueError(f"unknown backend type: {kind}")
 
     def encode_speech(self, audio_or_fbank, n_label_frames: int, train: bool = False, freeze_encoder: bool = False):
         """audio (B, N) or fbank (B, T100, feat) → mix embeddings (B, T25, D)."""

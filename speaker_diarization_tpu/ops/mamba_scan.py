@@ -1,0 +1,56 @@
+"""Selective state-space scan (Mamba S6) as a parallel associative scan.
+
+The reference's Mamba backends wrap the CUDA/Triton `mamba_ssm` package
+(`egs/alimeeting/ts_vad2/mamba.py:11-15`); the TPU-native formulation is the
+linear recurrence h_t = Ā_t ⊙ h_{t-1} + B̄_t x_t evaluated with
+`jax.lax.associative_scan` (log-depth over sequence length, XLA-fused on
+TPU). ZOH discretization: Ā = exp(Δ·A), B̄ = Δ·B.
+
+A Pallas chunked-scan kernel is a future optimization; at TS-VAD sizes
+(T ≤ 200, d_inner ≤ 1536, d_state 16-64) the associative scan is already
+bandwidth-bound and fast.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def selective_scan(
+    x: jnp.ndarray,  # (B, T, D) inner activations
+    delta: jnp.ndarray,  # (B, T, D) positive step sizes
+    A: jnp.ndarray,  # (D, N) negative-real state matrix
+    Bm: jnp.ndarray,  # (B, T, N) input matrix
+    C: jnp.ndarray,  # (B, T, N) output matrix
+    D: jnp.ndarray,  # (D,) skip
+) -> jnp.ndarray:
+    """y (B, T, D) = SSM(x) with input-dependent Δ, B, C (S6)."""
+    # discretize: Abar (B, T, D, N), Bbar·x (B, T, D, N)
+    dA = jnp.exp(delta[..., None] * A[None, None])  # (B, T, D, N)
+    dBx = (delta * x)[..., None] * Bm[:, :, None, :]  # (B, T, D, N)
+
+    def combine(a, b):
+        a_A, a_b = a
+        b_A, b_b = b
+        return a_A * b_A, b_A * a_b + b_b
+
+    _, h = jax.lax.associative_scan(combine, (dA, dBx), axis=1)
+    y = jnp.einsum("btdn,btn->btd", h, C)
+    return y + x * D[None, None]
+
+
+def selective_scan_sequential(x, delta, A, Bm, C, D):
+    """O(T) lax.scan reference (oracle for tests; also the streaming path)."""
+    dA = jnp.exp(delta[..., None] * A[None, None])
+    dBx = (delta * x)[..., None] * Bm[:, :, None, :]
+
+    def step(h, inp):
+        a, b, c = inp
+        h = a * h + b
+        return h, jnp.einsum("bdn,bn->bd", h, c)
+
+    B_, T, Dd, N = dA.shape
+    h0 = jnp.zeros((B_, Dd, N), dA.dtype)
+    _, ys = jax.lax.scan(step, h0, (dA.transpose(1, 0, 2, 3), dBx.transpose(1, 0, 2, 3), C.transpose(1, 0, 2)))
+    return ys.transpose(1, 0, 2) + x * D[None, None]

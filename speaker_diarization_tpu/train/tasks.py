@@ -77,6 +77,32 @@ def make_eda_loss(model, attractor_weight: float = 1.0, shuffle_frames: bool = T
     return loss_fn
 
 
+def make_fs_eend_loss(model, consistency_weight: float = 1.0):
+    """loss_fn for FSEENDModel: PIT-BCE on [silence‖speakers‖pad] channels +
+    embedding-consistency MSE (reference fs_eend/model.py:55-99)."""
+    from ..models.fs_eend import consistency_loss, fs_eend_labels
+
+    def loss_fn(params, batch, rng, train):
+        logits, emb = model.apply(
+            params,
+            batch["audio"],
+            frame_mask=batch["frame_mask"],
+            deterministic=not train,
+            rngs={"dropout": rng} if train else None,
+        )
+        ch_labels = fs_eend_labels(batch["labels"], batch["frame_mask"])
+        pit, labels_perm, _ = L.pit_loss(logits, ch_labels, frame_mask=batch["frame_mask"])
+        cons = consistency_loss(emb, ch_labels, batch["frame_mask"])
+        stats = M.diarization_error_stats(logits, labels_perm, batch["frame_mask"])
+        return pit + consistency_weight * cons, {
+            "pit_loss": pit,
+            "consistency_loss": cons,
+            "frame_der": M.der_from_stats(stats),
+        }
+
+    return loss_fn
+
+
 def make_eend_vc_loss(model, spk_loss_weight: float = 1.0):
     """loss_fn for EENDVCModel: PIT-BCE + global-speaker distance-softmax CE.
 
