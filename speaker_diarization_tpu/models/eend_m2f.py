@@ -1,0 +1,199 @@
+"""EEND-M2F: Mask2Former-style set-prediction diarization.
+
+Reference: `/root/reference/speaker_diarization/eend_m2f/` — conv
+subsampling backbone (backbone.py:7 DepthwiseSeparableConv1dSubsampling10)
+→ 1-D pixel decoder upsampling back to frame rate (pixel_decoder.py) →
+masked transformer decoder with N learned queries
+(mask2former_transformer_decoder.py:14) → per-query class logit
+(speaker/no-speaker) + mask embedding; masks = mask_emb · pixel_featᵀ.
+Training: Hungarian matching on (class, mask BCE, dice) costs
+(criterion.py:176 SetCriterion, matchers) with auxiliary per-layer losses.
+
+TPU-first: masks are scored over all frames (no point sampling — T ≤ 2000
+1-D frames, unlike 2-D images), the matcher runs via pure_callback, and
+the masked cross-attention uses the previous layer's mask prediction as an
+attention bias with static shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import features as F
+from ..ops.hungarian import dice_loss, hungarian_assign
+from .eend import FrontendConfig
+from .transformer import TransformerEncoder, sinusoidal_position_encoding
+
+
+@dataclass(frozen=True)
+class M2FConfig:
+    num_queries: int = 16
+    d_model: int = 256
+    n_heads: int = 4
+    d_ff: int = 1024
+    enc_layers: int = 4
+    dec_layers: int = 3
+    dropout: float = 0.1
+    mask_threshold: float = 0.5
+    class_weight: float = 2.0
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+    no_object_weight: float = 0.1
+
+
+class MaskedDecoderLayer(nn.Module):
+    n_heads: int
+    d_ff: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, feats, attn_mask=None, train: bool = False):
+        d = queries.shape[-1]
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, dropout_rate=self.dropout, dtype=self.dtype, name="cross_attn"
+        )(queries, feats, mask=attn_mask, deterministic=not train)
+        q = nn.LayerNorm(dtype=self.dtype, name="norm1")(queries + h)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, dropout_rate=self.dropout, dtype=self.dtype, name="self_attn"
+        )(q, q, deterministic=not train)
+        q = nn.LayerNorm(dtype=self.dtype, name="norm2")(q + h)
+        h = nn.Dense(self.d_ff, dtype=self.dtype, name="ffn1")(q)
+        h = nn.Dense(d, dtype=self.dtype, name="ffn2")(nn.relu(h))
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(q + h)
+
+
+class EENDM2FModel(nn.Module):
+    cfg: M2FConfig = M2FConfig()
+    frontend: Optional[FrontendConfig] = FrontendConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = TransformerEncoder(
+            d_model=c.d_model, n_layers=c.enc_layers, n_heads=c.n_heads, d_ff=c.d_ff,
+            dropout=c.dropout, has_pos=True, dtype=self.dtype,
+        )
+        self.pixel_proj = nn.Dense(c.d_model, dtype=self.dtype)
+        self.query_emb = self.param("query_emb", nn.initializers.normal(0.5), (c.num_queries, c.d_model))
+        self.dec_layers_mods = [
+            MaskedDecoderLayer(c.n_heads, c.d_ff, c.dropout, dtype=self.dtype, name=f"dec_{i}")
+            for i in range(c.dec_layers)
+        ]
+        self.class_head = nn.Dense(1, dtype=self.dtype)  # speaker vs no-object
+        self.mask_head = nn.Dense(c.d_model, dtype=self.dtype)
+
+    def __call__(self, x, frame_mask=None, train: bool = False):
+        """x: audio (B, samples) or features (B, T, d_in).
+
+        Returns dict with 'mask_logits' (B, Q, T), 'class_logits' (B, Q),
+        and per-layer aux lists.
+        """
+        if self.frontend is not None and x.ndim == 2:
+            fe = self.frontend
+            x = F.eend_frontend_jax(
+                x, x.shape[-1], fe.frame_size, fe.frame_shift, fe.sample_rate,
+                fe.n_mels, fe.context_size, fe.subsampling, fe.mean_norm,
+            )
+        feats = self.encoder(x.astype(self.dtype), frame_mask=frame_mask, deterministic=not train)
+        pixel = self.pixel_proj(feats)  # (B, T, D)
+
+        B, T, D = pixel.shape
+        Q = self.cfg.num_queries
+        q = jnp.broadcast_to(self.query_emb[None], (B, Q, D)).astype(self.dtype)
+
+        aux_masks, aux_classes = [], []
+        attn_mask = None
+        for layer in self.dec_layers_mods:
+            q = layer(q, pixel, attn_mask, train)
+            memb = self.mask_head(q)  # (B, Q, D)
+            mask_logits = jnp.einsum("bqd,btd->bqt", memb, pixel).astype(jnp.float32)
+            cls_logits = self.class_head(q)[..., 0].astype(jnp.float32)
+            aux_masks.append(mask_logits)
+            aux_classes.append(cls_logits)
+            # masked attention: restrict to currently-predicted foreground
+            fg = jax.nn.sigmoid(mask_logits) > self.cfg.mask_threshold
+            any_fg = jnp.any(fg, axis=-1, keepdims=True)
+            fg = jnp.where(any_fg, fg, True)  # empty masks attend everywhere
+            attn_mask = fg[:, None]  # (B, 1, Q, T) boolean, True = attend
+
+        return dict(
+            mask_logits=aux_masks[-1],
+            class_logits=aux_classes[-1],
+            aux_mask_logits=aux_masks[:-1],
+            aux_class_logits=aux_classes[:-1],
+        )
+
+
+def m2f_criterion(outputs: dict, labels: jnp.ndarray, cfg: M2FConfig, frame_mask=None):
+    """Hungarian-matched set loss (reference criterion.py:176 SetCriterion).
+
+    labels: (B, S, T) per-speaker activity (S ≤ num_queries; pad rows zero).
+    Returns (loss, aux_dict).
+    """
+
+    def one_level(mask_logits, class_logits):
+        B, Q, T = mask_logits.shape
+        S = labels.shape[1]
+        # cost matrix (B, Q, S): class + mask bce + dice
+        p = jax.nn.sigmoid(mask_logits)
+        eps = 1e-6
+        bce_pos = -jnp.log(jnp.clip(p, eps, 1.0))
+        bce_neg = -jnp.log(jnp.clip(1 - p, eps, 1.0))
+        cost_mask = (
+            jnp.einsum("bqt,bst->bqs", bce_pos, labels) + jnp.einsum("bqt,bst->bqs", bce_neg, 1 - labels)
+        ) / T
+        num = 2 * jnp.einsum("bqt,bst->bqs", p, labels)
+        den = jnp.sum(p, axis=-1)[:, :, None] + jnp.sum(labels, axis=-1)[:, None, :]
+        cost_dice = 1 - (num + 1) / (den + 1)
+        cost_class = -jax.nn.sigmoid(class_logits)[:, :, None]
+        cost = cfg.mask_weight * cost_mask + cfg.dice_weight * cost_dice + cfg.class_weight * cost_class
+        # only match real speakers (rows with any activity)
+        real = jnp.sum(labels, axis=-1) > 0  # (B, S)
+        cost = jnp.where(real[:, None, :], cost, 1e6)
+        # assign: queries (rows) ≥ speakers (cols) → transpose to (B, S, Q)
+        assign = hungarian_assign(cost.transpose(0, 2, 1))  # (B, S) query index per speaker
+
+        onehot = jax.nn.one_hot(assign, Q)  # (B, S, Q)
+        matched = jnp.where(real[..., None], onehot, 0.0)
+        # class targets: matched queries → 1, rest → 0 with no_object weight
+        is_obj = jnp.max(matched, axis=1)  # (B, Q)
+        w = is_obj + cfg.no_object_weight * (1 - is_obj)
+        ce = jnp.maximum(class_logits, 0) - class_logits * is_obj + jnp.log1p(jnp.exp(-jnp.abs(class_logits)))
+        class_loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        # mask losses on matched pairs
+        pred = jnp.einsum("bsq,bqt->bst", matched, mask_logits)
+        mce = jnp.maximum(pred, 0) - pred * labels + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+        if frame_mask is not None:
+            mce = mce * frame_mask[:, None, :]
+        n_real = jnp.maximum(jnp.sum(real), 1.0)
+        mask_loss = jnp.sum(mce * real[..., None]) / (n_real * T)
+        d = dice_loss(jnp.where(real[..., None], pred, -1e9), labels)
+        dice = jnp.sum(d * real) / n_real
+        return cfg.class_weight * class_loss + cfg.mask_weight * mask_loss + cfg.dice_weight * dice, (
+            class_loss,
+            mask_loss,
+            dice,
+        )
+
+    total, (cl, ml, dl) = one_level(outputs["mask_logits"], outputs["class_logits"])
+    for m, c in zip(outputs.get("aux_mask_logits", []), outputs.get("aux_class_logits", [])):
+        aux_total, _ = one_level(m, c)
+        total = total + aux_total
+    return total, {"class_loss": cl, "mask_loss": ml, "dice_loss": dl}
+
+
+def m2f_predict_activity(outputs: dict, class_threshold: float = 0.5):
+    """Inference: keep queries with class prob > threshold; activity =
+    sigmoid masks of kept queries (reference infer_mask_model.py)."""
+    probs = jax.nn.sigmoid(outputs["class_logits"])  # (B, Q)
+    masks = jax.nn.sigmoid(outputs["mask_logits"])  # (B, Q, T)
+    keep = probs > class_threshold
+    return masks * keep[..., None], keep

@@ -1,0 +1,101 @@
+"""EEND-M2F: Hungarian matcher, set criterion, model smoke + overfit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speaker_diarization_tpu.models.eend import FrontendConfig
+from speaker_diarization_tpu.models.eend_m2f import (
+    EENDM2FModel,
+    M2FConfig,
+    m2f_criterion,
+    m2f_predict_activity,
+)
+from speaker_diarization_tpu.ops.hungarian import dice_loss, hungarian_assign
+
+FE = FrontendConfig()
+CFG = M2FConfig(num_queries=6, d_model=48, n_heads=2, d_ff=64, enc_layers=1, dec_layers=2, dropout=0.0)
+
+
+class TestHungarian:
+    def test_assignment(self):
+        cost = np.array([[[1.0, 0.0, 5.0], [0.0, 1.0, 5.0]]], np.float32)  # (1, 2, 3)
+        a = np.asarray(hungarian_assign(jnp.asarray(cost)))
+        np.testing.assert_array_equal(a[0], [1, 0])
+
+    def test_under_jit(self):
+        @jax.jit
+        def f(c):
+            return hungarian_assign(c)
+
+        cost = jnp.asarray(np.random.default_rng(0).random((3, 4, 6)).astype(np.float32))
+        a = np.asarray(f(cost))
+        assert a.shape == (3, 4)
+        for b in range(3):
+            assert len(set(a[b].tolist())) == 4  # one-to-one
+
+    def test_dice(self):
+        t = jnp.asarray(np.array([[1, 1, 0, 0]], np.float32))
+        perfect = jnp.asarray(np.array([[20.0, 20.0, -20.0, -20.0]], np.float32))
+        assert float(dice_loss(perfect, t)[0]) < 1e-3
+        worst = -perfect
+        # eps smoothing bounds the worst case below 1 (here 1 - 1/(4+1) = 0.8)
+        assert float(dice_loss(worst, t)[0]) > 0.6
+
+
+@pytest.fixture(scope="module")
+def m2f():
+    model = EENDM2FModel(cfg=CFG, frontend=FE)
+    rng = np.random.default_rng(0)
+    B, T = 2, 50
+    audio = jnp.asarray(rng.standard_normal((B, FE.chunk_samples(T))).astype(np.float32) * 0.1)
+    params = model.init(jax.random.PRNGKey(0), audio)
+    return model, params, audio, B, T
+
+
+class TestModel:
+    def test_output_shapes(self, m2f):
+        model, params, audio, B, T = m2f
+        out = model.apply(params, audio)
+        assert out["mask_logits"].shape == (B, CFG.num_queries, T)
+        assert out["class_logits"].shape == (B, CFG.num_queries)
+        assert len(out["aux_mask_logits"]) == CFG.dec_layers - 1
+
+    def test_criterion_and_overfit(self, m2f):
+        model, params, audio, B, T = m2f
+        rng = np.random.default_rng(1)
+        labels = np.zeros((B, 3, T), np.float32)
+        labels[:, 0, 5:25] = 1
+        labels[:, 1, 20:40] = 1
+        # third row empty (padding speaker)
+
+        import optax
+
+        tx = optax.adam(3e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                out = model.apply(p, audio, train=False)
+                loss, aux = m2f_criterion(out, jnp.asarray(labels), CFG)
+                return loss, aux
+
+            (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            up, opt_state2 = tx.update(g, opt_state)
+            return optax.apply_updates(params, up), opt_state2, loss
+
+        losses = []
+        p = params
+        for _ in range(25):
+            p, opt_state, loss = step(p, opt_state)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < 0.7 * losses[0], losses[::6]
+
+        out = model.apply(p, audio)
+        act, keep = m2f_predict_activity(out, class_threshold=0.5)
+        assert act.shape == (B, CFG.num_queries, T)
+        # after overfitting, ~2 queries should be kept per sample
+        assert 1 <= int(np.asarray(keep).sum(axis=-1).max()) <= CFG.num_queries
