@@ -152,7 +152,7 @@ class StreamingTSVADModel(nn.Module):
         """audio (B, N) or fbank (B, T100, F) → (B, T25, spk_dim)."""
         c = self.cfg
         if audio_or_fbank.ndim == 2:
-            fbank = F.kaldi_fbank_jax(audio_or_fbank, sample_rate=c.sample_rate, num_mel_bins=c.feat_dim, mean_norm=True)
+            fbank = F.kaldi_fbank_auto(audio_or_fbank, sample_rate=c.sample_rate, num_mel_bins=c.feat_dim, mean_norm=True)
         else:
             fbank = audio_or_fbank
         h = self.frontend(fbank.astype(self.dtype))

@@ -426,6 +426,26 @@ def kaldi_fbank_jax(
     return feats
 
 
+def kaldi_fbank_auto(
+    waveform: jnp.ndarray,
+    sample_rate: int = 16000,
+    num_mel_bins: int = 80,
+    mean_norm: bool = True,
+) -> jnp.ndarray:
+    """Device-dispatched kaldi fbank: fused Pallas kernel on TPU backends,
+    the XLA matmul path elsewhere. Batched (B, N) → (B, T, num_mel_bins)."""
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon") and waveform.ndim == 2:
+        from ..kernels.fbank_pallas import fbank_pallas
+
+        return fbank_pallas(
+            waveform, sample_rate=sample_rate, num_mel_bins=num_mel_bins, mean_norm=mean_norm
+        )
+    return kaldi_fbank_jax(
+        waveform, sample_rate=sample_rate, num_mel_bins=num_mel_bins, mean_norm=mean_norm
+    )
+
+
 def splice_jax(Y: jnp.ndarray, context_size: int) -> jnp.ndarray:
     """Batched splice: (..., T, d) → (..., T, d*(2c+1)); zero edge padding."""
     if context_size == 0:
