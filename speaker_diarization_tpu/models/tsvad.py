@@ -48,6 +48,9 @@ class TSVADConfig:
     multi_backend_type: str = "transformer"
     d_state: int = 64  # mamba state size (reference mamba2 cfg)
     expand: int = 2
+    speech_encoder_type: str = "campplus"  # campplus | wavlm | wavlm_weight_sum
+    wavlm_layers: int = 12  # transformer layers used (reference select 6-12)
+    wavlm_embed_dim: int = 768
 
 
 class BackendTransformer(nn.Module):
@@ -96,13 +99,31 @@ class TSVADModel(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.speech_encoder = CAMPPlus(
-            feat_dim=c.feat_dim,
-            block_layers=c.encoder_block_layers,
-            block_dilations=(1, 2, 2)[: len(c.encoder_block_layers)],
-            remat=self.remat_encoder,
-            dtype=self.dtype,
-        )
+        if c.speech_encoder_type == "campplus":
+            self.speech_encoder = CAMPPlus(
+                feat_dim=c.feat_dim,
+                block_layers=c.encoder_block_layers,
+                block_dilations=(1, 2, 2)[: len(c.encoder_block_layers)],
+                remat=self.remat_encoder,
+                dtype=self.dtype,
+            )
+        elif c.speech_encoder_type in ("wavlm", "wavlm_weight_sum"):
+            from .wavlm import WavLMFlaxConfig, WavLMModel
+
+            self.speech_encoder = WavLMModel(
+                cfg=WavLMFlaxConfig(
+                    encoder_layers=c.wavlm_layers,
+                    encoder_embed_dim=c.wavlm_embed_dim,
+                    encoder_ffn_embed_dim=4 * c.wavlm_embed_dim,
+                    encoder_attention_heads=max(1, c.wavlm_embed_dim // 64),
+                ),
+                dtype=self.dtype,
+            )
+            if c.speech_encoder_type == "wavlm_weight_sum":
+                # layer-weighted sum (reference WavLM_weight_sum, model.py:517)
+                self.wavlm_weights = self.param("wavlm_weights", nn.initializers.zeros, (c.wavlm_layers,))
+        else:
+            raise ValueError(f"unknown speech_encoder_type: {c.speech_encoder_type}")
         self.speech_down = ConvBnRelu(c.speaker_embed_dim, kernel=5, stride=2, dtype=self.dtype)
         if c.speaker_embed_dim * 2 != c.transformer_embed_dim:
             self.proj_layer = nn.Dense(c.transformer_embed_dim, dtype=self.dtype)
@@ -141,12 +162,21 @@ class TSVADModel(nn.Module):
     def encode_speech(self, audio_or_fbank, n_label_frames: int, train: bool = False, freeze_encoder: bool = False):
         """audio (B, N) or fbank (B, T100, feat) → mix embeddings (B, T25, D)."""
         c = self.cfg
-        if audio_or_fbank.ndim == 2:
-            fbank = F.kaldi_fbank_auto(audio_or_fbank, sample_rate=c.sample_rate, num_mel_bins=c.feat_dim, mean_norm=True)
+        if c.speech_encoder_type == "wavlm_weight_sum":
+            # raw waveform input; weighted sum over all transformer layers
+            _, layers = self.speech_encoder.extract_features(audio_or_fbank, ret_layer_results=True)
+            stacked = jnp.stack(layers[1:], axis=0)  # (L, B, T50, D)
+            w = jax.nn.softmax(self.wavlm_weights)
+            x = jnp.einsum("l,lbtd->btd", w, stacked)
+        elif c.speech_encoder_type == "wavlm":
+            x = self.speech_encoder.extract_features(audio_or_fbank)  # (B, T50, 768)
         else:
-            fbank = audio_or_fbank
-        fbank = fbank.astype(self.dtype)
-        x = self.speech_encoder(fbank, train=train and not freeze_encoder, mode="frames")  # (B, T50, 512)
+            if audio_or_fbank.ndim == 2:
+                fbank = F.kaldi_fbank_auto(audio_or_fbank, sample_rate=c.sample_rate, num_mel_bins=c.feat_dim, mean_norm=True)
+            else:
+                fbank = audio_or_fbank
+            fbank = fbank.astype(self.dtype)
+            x = self.speech_encoder(fbank, train=train and not freeze_encoder, mode="frames")  # (B, T50, 512)
         if freeze_encoder:
             x = jax.lax.stop_gradient(x)
         x = self.speech_down(x, train=train)  # (B, T25, 192)

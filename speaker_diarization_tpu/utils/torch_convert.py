@@ -131,6 +131,74 @@ def _map_bn(params, stats, path, leaf, w):
     # num_batches_tracked: ignored
 
 
+def wavlm_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = "") -> dict:
+    """Convert a reference WavLM state_dict to flax params (models/wavlm.py).
+
+    The conv positional embedding's weight-norm parametrization
+    (original0 = g along dim 2, original1 = v) is folded into a dense
+    kernel here.
+    """
+    params: dict = {}
+    sd = {}
+    for k, v in state_dict.items():
+        if prefix:
+            if not k.startswith(prefix):
+                continue
+            k = k[len(prefix):]
+        sd[k] = _np(v)
+
+    # fold pos_conv weight norm: w = g * v / ||v|| over dims (0, 1)
+    g = sd.get("encoder.pos_conv.0.parametrizations.weight.original0")
+    v = sd.get("encoder.pos_conv.0.parametrizations.weight.original1")
+    if g is None:  # older serialization: weight_g / weight_v
+        g = sd.get("encoder.pos_conv.0.weight_g")
+        v = sd.get("encoder.pos_conv.0.weight_v")
+    if g is not None and v is not None:
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        w = g * v / np.maximum(norm, 1e-12)  # (out, in/groups, k)
+        _set(params, ("pos_conv", "kernel"), w.transpose(2, 1, 0))
+    if "encoder.pos_conv.0.bias" in sd:
+        _set(params, ("pos_conv", "bias"), sd["encoder.pos_conv.0.bias"])
+
+    for name, w in sd.items():
+        parts = name.split(".")
+        if name.startswith("feature_extractor.conv_layers."):
+            i = parts[2]
+            if parts[3] == "0" and parts[-1] == "weight":  # conv
+                _set(params, ("feature_extractor", f"conv_{i}", "kernel"), w.transpose(2, 1, 0))
+            elif parts[3] == "2":  # group norm (layer 0, 'default' mode)
+                leaf = "scale" if parts[-1] == "weight" else "bias"
+                _set(params, ("feature_extractor", "gn0", leaf), w)
+        elif name in ("layer_norm.weight", "layer_norm.bias"):
+            _set(params, ("layer_norm", "scale" if parts[-1] == "weight" else "bias"), w)
+        elif name.startswith("post_extract_proj."):
+            _set(params, ("post_extract_proj", "kernel" if parts[-1] == "weight" else "bias"),
+                 w.T if parts[-1] == "weight" else w)
+        elif name in ("encoder.layer_norm.weight", "encoder.layer_norm.bias"):
+            _set(params, ("encoder_layer_norm", "scale" if parts[-1] == "weight" else "bias"), w)
+        elif name == "encoder.layers.0.self_attn.relative_attention_bias.weight":
+            _set(params, ("relative_attention_bias",), w)
+        elif name.startswith("encoder.layers."):
+            i = parts[2]
+            sub = parts[3]
+            if sub == "self_attn":
+                which = parts[4]
+                if which in ("q_proj", "k_proj", "v_proj", "out_proj", "grep_linear"):
+                    _set(
+                        params,
+                        (f"layer_{i}", "self_attn", which, "kernel" if parts[-1] == "weight" else "bias"),
+                        w.T if parts[-1] == "weight" else w,
+                    )
+                elif which == "grep_a":
+                    _set(params, (f"layer_{i}", "self_attn", "grep_a"), w)
+            elif sub in ("self_attn_layer_norm", "final_layer_norm"):
+                _set(params, (f"layer_{i}", sub, "scale" if parts[-1] == "weight" else "bias"), w)
+            elif sub in ("fc1", "fc2"):
+                _set(params, (f"layer_{i}", sub, "kernel" if parts[-1] == "weight" else "bias"),
+                     w.T if parts[-1] == "weight" else w)
+    return params
+
+
 def load_campplus_checkpoint(path: str, prefix: str = "") -> Tuple[dict, dict]:
     """Load a torch .pt/.bin CAM++ checkpoint into flax (params, batch_stats)."""
     import torch
