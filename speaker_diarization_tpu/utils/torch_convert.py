@@ -199,6 +199,42 @@ def wavlm_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = "") -
     return params
 
 
+def whisper_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = "") -> dict:
+    """Convert a transformers WhisperEncoder state_dict to flax params
+    (models/whisper_encoder.py). Official OpenAI checkpoints use the same
+    tensor shapes with different names; rename before calling."""
+    params: dict = {}
+    for name, w in state_dict.items():
+        if prefix:
+            if not name.startswith(prefix):
+                continue
+            name = name[len(prefix):]
+        w = _np(w)
+        parts = name.split(".")
+        if parts[0] in ("conv1", "conv2"):
+            leaf = "kernel" if parts[1] == "weight" else "bias"
+            _set(params, (parts[0], leaf), w.transpose(2, 1, 0) if leaf == "kernel" else w)
+        elif parts[0] == "embed_positions":
+            _set(params, ("embed_positions",), w)
+        elif parts[0] == "layer_norm":
+            _set(params, ("ln_post", "scale" if parts[1] == "weight" else "bias"), w)
+        elif parts[0] == "layers":
+            i, sub = parts[1], parts[2]
+            blk = f"block_{i}"
+            if sub == "self_attn":
+                which = parts[3]
+                _set(params, (blk, "attn", which, "kernel" if parts[-1] == "weight" else "bias"),
+                     w.T if parts[-1] == "weight" else w)
+            elif sub == "self_attn_layer_norm":
+                _set(params, (blk, "attn_ln", "scale" if parts[-1] == "weight" else "bias"), w)
+            elif sub == "final_layer_norm":
+                _set(params, (blk, "mlp_ln", "scale" if parts[-1] == "weight" else "bias"), w)
+            elif sub in ("fc1", "fc2"):
+                _set(params, (blk, sub, "kernel" if parts[-1] == "weight" else "bias"),
+                     w.T if parts[-1] == "weight" else w)
+    return params
+
+
 def load_campplus_checkpoint(path: str, prefix: str = "") -> Tuple[dict, dict]:
     """Load a torch .pt/.bin CAM++ checkpoint into flax (params, batch_stats)."""
     import torch
