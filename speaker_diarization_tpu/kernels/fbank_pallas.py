@@ -1,21 +1,28 @@
-"""Fused kaldi-fbank Pallas kernel: framing → preemphasis → window → DFT
-(as MXU matmuls) → power → mel → log, one pass through VMEM.
+"""Fused spectral front-end Pallas kernels.
 
-The log-mel front-end is the per-sample preprocessing of every model family;
-fusing it avoids materializing the (T, 400) frame tensor and the (T, 257)
-spectrum in HBM. Framing uses a stride-decomposition trick: with
-win = 2·shift + r, audio reshaped to (rows, shift) makes frame t the
-concatenation of rows [t, t+1] and the first r columns of row t+2 — the
-kernel receives three shifted views of the same row buffer (XLA aliases
-them), so every access is a plain block load, no gather, no overlap.
+One kernel pattern serves both per-sample preprocessings in the framework:
 
-Matches ops.features.kaldi_fbank_jax (same DFT/mel constants); validated in
-tests/test_pallas_fbank.py; interpret mode runs on CPU.
+- kaldi fbank (TS-VAD/SSND/OTS-VAD): hamming window, DC removal,
+  preemphasis, kaldi mel, natural log (`fbank_pallas`);
+- EEND log-mel ('logmel23'): centered hann window, slaney mel on the power
+  spectrum, log10 (`logmel_pallas`).
+
+Per tile: framing → elementwise preprocessing → windowed DFT as two MXU
+matmuls → power → mel matmul → log, one pass through VMEM. Framing uses a
+stride decomposition: audio reshaped to (rows, shift) makes frame t the
+concatenation of rows t..t+k (plus a partial row), so the kernel receives
+k+1 shifted views of one buffer (XLA aliases them) and every access is a
+plain block load — no gather, no overlapping BlockSpecs.
+
+HIGHEST-precision MXU passes: bf16 default loses ~0.4% on the spectrum,
+which explodes under the log at near-floor mel bins. Validated against the
+host oracles in tests/test_pallas_fbank.py; interpret mode runs on CPU.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,32 +35,82 @@ from ..ops import features as F
 TILE_T = 128
 
 
-@functools.lru_cache(maxsize=4)
-def _consts(sample_rate: int, num_mel_bins: int, win: int, n_fft: int):
-    cos_b, sin_b = F._dft_basis(n_fft)
-    window = F._hamming_window(win).astype(np.float32)
-    mel = F.kaldi_mel_banks(num_mel_bins, n_fft, sample_rate)  # (M, bins)
-    # fold the hamming window into the DFT bases: (w ⊙ x)·B == x·(w[:,None]·B)
-    cosw = (cos_b[:win] * window[:, None]).astype(np.float32)
-    sinw = (sin_b[:win] * window[:, None]).astype(np.float32)
-    return cosw, sinw, window, mel.T.copy()
-
-
-def _fbank_kernel(r0_ref, r1_ref, r2_ref, cos_ref, sin_ref, mel_ref, out_ref, *, preemph):
-    # r0/r1: (1, T, shift); r2: (1, T, r) — stride-decomposed frame pieces
-    frames = jnp.concatenate([r0_ref[0], r1_ref[0], r2_ref[0]], axis=1)  # (T, win)
-    frames = frames - jnp.mean(frames, axis=1, keepdims=True)  # remove DC
-    prev = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
-    frames = frames - preemph * prev  # preemphasis (first sample vs itself)
-    # window is folded into cos/sin bases; HIGHEST precision: bf16 MXU
-    # passes lose ~0.4% on the spectrum, which explodes under the log at
-    # near-floor mel bins
+def _frontend_kernel(*refs, n_pieces, preemph, remove_dc, log10):
+    row_refs = refs[:n_pieces]
+    cos_ref, sin_ref, mel_ref, out_ref = refs[n_pieces : n_pieces + 4]
+    frames = jnp.concatenate([r[0] for r in row_refs], axis=1)  # (T, win)
+    if remove_dc:
+        frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+    if preemph:
+        prev = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - preemph * prev
     hp = jax.lax.Precision.HIGHEST
     re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32, precision=hp)
     im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32, precision=hp)
     pspec = re * re + im * im
     melspec = jnp.dot(pspec, mel_ref[:], preferred_element_type=jnp.float32, precision=hp)
-    out_ref[0] = jnp.log(jnp.maximum(melspec, np.finfo(np.float32).eps))
+    floored = jnp.maximum(melspec, np.finfo(np.float32).eps if not log10 else 1e-10)
+    out_ref[0] = jnp.log(floored) * (1.0 / np.log(10.0) if log10 else 1.0)
+
+
+def _fused_frontend(
+    x: jnp.ndarray,  # (B, N) already scaled/padded as desired
+    n_frames: int,
+    win: int,
+    shift: int,
+    cos_basis: np.ndarray,  # (win, bins) window-folded
+    sin_basis: np.ndarray,
+    mel_T: np.ndarray,  # (bins, n_mels)
+    preemph: float,
+    remove_dc: bool,
+    log10: bool,
+    interpret: bool,
+) -> jnp.ndarray:
+    B = x.shape[0]
+    n_tiles = -(-n_frames // TILE_T)
+    Trows = n_tiles * TILE_T
+    n_full = win // shift
+    rem = win - n_full * shift
+    n_pieces = n_full + (1 if rem else 0)
+    pad_to = (Trows + n_pieces) * shift
+    x = jnp.pad(x, ((0, 0), (0, max(0, pad_to - x.shape[1]))))[:, :pad_to]
+    rows = x.reshape(B, Trows + n_pieces, shift)
+    views = [rows[:, i : i + Trows] for i in range(n_full)]
+    widths = [shift] * n_full
+    if rem:
+        views.append(rows[:, n_full : n_full + Trows, :rem])
+        widths.append(rem)
+
+    n_mels = mel_T.shape[1]
+    out = pl.pallas_call(
+        functools.partial(
+            _frontend_kernel, n_pieces=n_pieces, preemph=preemph, remove_dc=remove_dc, log10=log10
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Trows, n_mels), jnp.float32),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TILE_T, w), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM) for w in widths
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, TILE_T, n_mels), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*views, jnp.asarray(cos_basis), jnp.asarray(sin_basis), jnp.asarray(mel_T))
+    return out[:, :n_frames]
+
+
+# ---------------------------------------------------------------------------
+# kaldi fbank
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=4)
+def _kaldi_consts(sample_rate: int, num_mel_bins: int, win: int, n_fft: int):
+    cos_b, sin_b = F._dft_basis(n_fft)
+    window = F._hamming_window(win).astype(np.float32)
+    mel = F.kaldi_mel_banks(num_mel_bins, n_fft, sample_rate)
+    return (cos_b[:win] * window[:, None]).astype(np.float32), (sin_b[:win] * window[:, None]).astype(
+        np.float32
+    ), mel.T.copy()
 
 
 def fbank_pallas(
@@ -70,44 +127,48 @@ def fbank_pallas(
     """(B, N) float audio → (B, T, num_mel_bins) kaldi fbank, fused on TPU."""
     win = int(sample_rate * frame_length_ms / 1000)
     shift = int(sample_rate * frame_shift_ms / 1000)
-    r = win - 2 * shift
-    assert 0 < r <= shift, f"need shift < win ≤ 3·shift, got win={win} shift={shift}"
     n_fft = F.fft_size_for(win)
-    B, N = audio.shape
-    T = 1 + (N - win) // shift
-
+    T = 1 + (audio.shape[1] - win) // shift
     x = audio.astype(jnp.float32)
     if scale_to_int16:
         x = x * 32768.0
+    cosw, sinw, melT = _kaldi_consts(sample_rate, num_mel_bins, win, n_fft)
+    feats = _fused_frontend(x, T, win, shift, cosw, sinw, melT, preemphasis, True, False, interpret)
+    if mean_norm:
+        feats = feats - jnp.mean(feats, axis=1, keepdims=True)
+    return feats
 
-    n_tiles = -(-T // TILE_T)
-    rows_needed = n_tiles * TILE_T + 2
-    pad_to = (rows_needed + 1) * shift
-    x = jnp.pad(x, ((0, 0), (0, max(0, pad_to - N))))[:, :pad_to]
-    rows = x.reshape(B, rows_needed + 1, shift)
-    Trows = n_tiles * TILE_T
-    rows0 = rows[:, 0:Trows]
-    rows1 = rows[:, 1 : 1 + Trows]
-    rows2 = rows[:, 2 : 2 + Trows, :r]
 
-    cosw, sinw, _, melT = _consts(sample_rate, num_mel_bins, win, n_fft)
+# ---------------------------------------------------------------------------
+# EEND log-mel ('logmel23' family)
+# ---------------------------------------------------------------------------
 
-    out = pl.pallas_call(
-        functools.partial(_fbank_kernel, preemph=preemphasis),
-        out_shape=jax.ShapeDtypeStruct((B, Trows, num_mel_bins), jnp.float32),
-        grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, TILE_T, shift), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T, shift), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T, r), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TILE_T, num_mel_bins), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(rows0, rows1, rows2, jnp.asarray(cosw), jnp.asarray(sinw), jnp.asarray(melT))
-    feats = out[:, :T]
+
+@functools.lru_cache(maxsize=4)
+def _logmel_consts(sample_rate: int, n_mels: int, win: int, n_fft: int):
+    cos_b, sin_b = F._dft_basis(n_fft)
+    window = F.pad_center(F.hann_window(win), n_fft).astype(np.float32)
+    mel = F.mel_filterbank(sample_rate, n_fft, n_mels)  # slaney
+    return (cos_b * window[:, None]).astype(np.float32), (sin_b * window[:, None]).astype(np.float32), mel.T.copy()
+
+
+def logmel_pallas(
+    audio: jnp.ndarray,
+    n_frames: int,
+    frame_size: int = 200,
+    frame_shift: int = 80,
+    sample_rate: int = 8000,
+    n_mels: int = 23,
+    mean_norm: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, N) → (B, n_frames, n_mels): centered hann stft → slaney mel of the
+    power spectrum → log10 (== ops.features.logmel_frames_jax)."""
+    n_fft = F.fft_size_for(frame_size)
+    pad = n_fft // 2
+    x = jnp.pad(audio.astype(jnp.float32), ((0, 0), (pad, pad)))
+    cosw, sinw, melT = _logmel_consts(sample_rate, n_mels, frame_size, n_fft)
+    feats = _fused_frontend(x, n_frames, n_fft, frame_shift, cosw, sinw, melT, 0.0, False, True, interpret)
     if mean_norm:
         feats = feats - jnp.mean(feats, axis=1, keepdims=True)
     return feats

@@ -474,6 +474,11 @@ def eend_frontend_jax(
     Matches host pipeline: transform('logmel23_mn') → splice → subsample.
     """
     n_frames = count_frames(n_samples, frame_shift)
-    lm = logmel_frames_jax(audio, n_frames, frame_size, frame_shift, sample_rate, n_mels, mean_norm)
+    if jax.default_backend() in ("tpu", "axon") and audio.ndim == 2:
+        from ..kernels.fbank_pallas import logmel_pallas
+
+        lm = logmel_pallas(audio, n_frames, frame_size, frame_shift, sample_rate, n_mels, mean_norm)
+    else:
+        lm = logmel_frames_jax(audio, n_frames, frame_size, frame_shift, sample_rate, n_mels, mean_norm)
     sp = splice_jax(lm, context_size)
     return sp[..., ::subsampling, :]

@@ -39,3 +39,26 @@ class TestPallasFbank:
         x = jnp.asarray(np.zeros((1, 16000), np.float32))
         out = F.kaldi_fbank_auto(x)
         assert out.shape[0] == 1 and out.shape[2] == 80
+
+
+class TestPallasLogmel:
+    @pytest.mark.parametrize("n_samples", [16080, 8000])
+    def test_matches_xla_logmel(self, n_samples):
+        from speaker_diarization_tpu.kernels.fbank_pallas import logmel_pallas
+
+        rng = np.random.default_rng(3)
+        x = (0.2 * rng.standard_normal((2, n_samples))).astype(np.float32)
+        n = F.count_frames(n_samples, 80)
+        ref = np.asarray(F.logmel_frames_jax(jnp.asarray(x), n, 200, 80, 8000, 23, True))
+        out = np.asarray(logmel_pallas(jnp.asarray(x), n, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_16k_eend_config(self):
+        from speaker_diarization_tpu.kernels.fbank_pallas import logmel_pallas
+
+        rng = np.random.default_rng(4)
+        x = (0.2 * rng.standard_normal((1, 32000))).astype(np.float32)
+        n = F.count_frames(32000, 160)
+        ref = np.asarray(F.logmel_frames_jax(jnp.asarray(x), n, 400, 160, 16000, 23, True))
+        out = np.asarray(logmel_pallas(jnp.asarray(x), n, 400, 160, 16000, 23, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
