@@ -275,6 +275,100 @@ def make_mixtures(
     return out_data_dir
 
 
+class SimuDiarMixer:
+    """On-the-fly simulated meeting batches (reference SSND
+    `simu_diar_dataset.py:18` SimuDiarMixer): each sample draws speakers,
+    utterances, overlap/silence statistics and noise, returning the mixture
+    plus per-speaker activity labels at `label_rate` — no disk I/O in the
+    training loop, fresh mixtures every step.
+    """
+
+    def __init__(
+        self,
+        src_data_dir: str,
+        noise_dir: Optional[str] = None,
+        duration: float = 8.0,
+        rate: int = 16000,
+        max_speakers: int = 4,
+        min_speakers: int = 1,
+        label_rate: int = 25,
+        sil_scale: float = 1.0,
+        overlap_prob: float = 0.3,
+        noise_snrs: Sequence[float] = (10.0, 20.0),
+        seed: int = 0,
+    ):
+        self.kd = kaldi_io.KaldiData(src_data_dir)
+        self.noise = kaldi_io.load_scp(os.path.join(noise_dir, "wav.scp")) if noise_dir else {}
+        self.duration, self.rate = duration, rate
+        self.max_speakers, self.min_speakers = max_speakers, min_speakers
+        self.label_rate = label_rate
+        self.sil_scale = sil_scale
+        self.overlap_prob = overlap_prob
+        self.noise_snrs = list(noise_snrs)
+        self.rng = np.random.default_rng(seed)
+        self.spk2utt = self.kd.spk2utt or {}
+        self.speakers = sorted(self.spk2utt)
+        self.spk_to_gid = {s: i for i, s in enumerate(self.speakers)}
+
+    def sample(self):
+        """→ dict(audio (N,), labels (T, max_speakers), spk_gids (max_speakers,))."""
+        n_samples = int(self.duration * self.rate)
+        n_frames = int(self.duration * self.label_rate)
+        n_spk = int(self.rng.integers(self.min_speakers, self.max_speakers + 1))
+        spks = list(self.rng.choice(self.speakers, size=n_spk, replace=False))
+        mix = np.zeros(n_samples, np.float32)
+        labels = np.zeros((n_frames, self.max_speakers), np.float32)
+        gids = np.full((self.max_speakers,), -1, np.int32)
+        for si, spk in enumerate(spks):
+            gids[si] = self.spk_to_gid[spk]
+            pos = float(self.rng.exponential(self.sil_scale))
+            while pos < self.duration - 0.5:
+                utt = self.spk2utt[spk][int(self.rng.integers(len(self.spk2utt[spk])))]
+                audio, r = wavio.load_wav_maybe_piped(self.kd.wavs[utt])
+                assert r == self.rate
+                start = int(pos * self.rate)
+                seg = audio[: n_samples - start]
+                mix[start : start + len(seg)] += seg
+                f0, f1 = int(pos * self.label_rate), min(
+                    int((pos + len(seg) / self.rate) * self.label_rate), n_frames
+                )
+                labels[f0:f1, si] = 1.0
+                dur = len(seg) / self.rate
+                if self.rng.random() < self.overlap_prob:
+                    pos += dur * float(self.rng.uniform(0.3, 0.9))  # overlapped start
+                else:
+                    pos += dur + float(self.rng.exponential(self.sil_scale))
+        if self.noise:
+            key = list(self.noise)[int(self.rng.integers(len(self.noise)))]
+            noise, r = wavio.load_wav_maybe_piped(self.noise[key])
+            if len(noise) < n_samples:
+                noise = np.pad(noise, (0, n_samples - len(noise)), "wrap")
+            off = int(self.rng.integers(max(len(noise) - n_samples, 1)))
+            noise = noise[off : off + n_samples]
+            snr = float(self.rng.choice(self.noise_snrs))
+            sp = np.mean(mix**2) + 1e-12
+            npow = np.mean(noise**2) + 1e-12
+            mix = mix + noise * np.sqrt(10 ** (-snr / 10) * sp / npow)
+        peak = np.abs(mix).max()
+        if peak > 0.99:
+            mix *= 0.99 / peak
+        return dict(audio=mix.astype(np.float32), labels=labels, spk_gids=gids)
+
+    def batches(self, batch_size: int):
+        """Infinite iterator of stacked batches."""
+        while True:
+            items = [self.sample() for _ in range(batch_size)]
+            yield dict(
+                audio=np.stack([i["audio"] for i in items]),
+                labels=np.stack([i["labels"] for i in items]),
+                spk_gids=np.stack([i["spk_gids"] for i in items]),
+            )
+
+    @property
+    def n_all_speakers(self) -> int:
+        return len(self.speakers)
+
+
 def simulate_corpus(
     out_dir: str,
     n_mixtures: int = 8,

@@ -207,6 +207,9 @@ SPEAKER_ENCODERS = {
     "campplus": "speaker_diarization_tpu.models.campplus:CAMPPlus",
     "ecapa_tdnn": "speaker_diarization_tpu.models.speaker_encoders:ECAPA_TDNN",
     "resnet34": "speaker_diarization_tpu.models.speaker_encoders:ResNet34",
+    "eres2net": "speaker_diarization_tpu.models.eres2net:ERes2Net",
+    "wavlm": "speaker_diarization_tpu.models.wavlm:WavLMModel",
+    "whisper": "speaker_diarization_tpu.models.whisper_encoder:WhisperEncoder",
 }
 
 
