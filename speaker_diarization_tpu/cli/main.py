@@ -54,6 +54,8 @@ class TrainCliConfig:
     # tsvad
     rs_len: float = 4.0
     segment_shift: float = 2.0
+    # eend_vc
+    all_n_speakers: int = 0
     # optimization
     batch_size: int = 16
     num_steps: int = 10000
@@ -103,6 +105,22 @@ def _build_model(cfg: TrainCliConfig):
             n_speakers=cfg.n_speakers, max_attractors=cfg.max_attractors,
             frontend=_frontend_from_cfg(cfg), **common,
         )
+    if cfg.family == "fs_eend":
+        from ..models.fs_eend import FSEENDModel
+
+        c2 = {k: v for k, v in common.items() if k not in ("n_layers", "remat")}
+        return FSEENDModel(
+            n_speakers=cfg.n_speakers, enc_layers=cfg.n_layers, dec_layers=max(cfg.n_layers // 2, 1),
+            frontend=_frontend_from_cfg(cfg), **c2,
+        )
+    if cfg.family == "eend_vc":
+        from ..models.eend_vc import EENDVCModel
+
+        c2 = {k: v for k, v in common.items() if k != "remat"}
+        return EENDVCModel(
+            n_speakers=cfg.n_speakers, all_n_speakers=cfg.all_n_speakers,
+            frontend=_frontend_from_cfg(cfg), **c2,
+        )
     if cfg.family == "tsvad":
         from ..models import TSVADConfig, TSVADModel
 
@@ -151,16 +169,28 @@ def cmd_train(args) -> int:
     )
     model = _build_model(cfg)
 
-    if cfg.family in ("eend", "eend_eda"):
+    if cfg.family in ("eend", "eend_eda", "fs_eend", "eend_vc"):
         from ..data.eend_dataset import EendChunkDataset, batch_iterator
 
         fe = _frontend_from_cfg(cfg)
         train_ds = EendChunkDataset(args.train_dir, cfg.chunk_frames, fe, cfg.n_speakers)
         valid_ds = EendChunkDataset(args.valid_dir, cfg.chunk_frames, fe, cfg.n_speakers) if args.valid_dir else None
-        loss_fn = tasks.make_eend_loss(model) if cfg.family == "eend" else tasks.make_eda_loss(model)
+        if cfg.family == "eend_vc" and cfg.all_n_speakers == 0:
+            cfg = dataclasses.replace(cfg, all_n_speakers=len(train_ds.all_speakers))
+            model = _build_model(cfg)
+        loss_fn = {
+            "eend": tasks.make_eend_loss,
+            "eend_eda": tasks.make_eda_loss,
+            "fs_eend": tasks.make_fs_eend_loss,
+            "eend_vc": tasks.make_eend_vc_loss,
+        }[cfg.family](model)
         trainer = Trainer(loss_fn, tcfg, mesh=mesh)
         b0 = next(batch_iterator(train_ds, cfg.batch_size, shuffle=False))
-        params = model.init(jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]))
+        init_method = model.init_all if cfg.family == "eend_vc" else None
+        if init_method is not None:
+            params = model.init(jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]), method=init_method)
+        else:
+            params = model.init(jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]))
         state = trainer.init_state(params)
         make_train = lambda ep: batch_iterator(train_ds, cfg.batch_size, True, cfg.seed, epoch=ep)  # noqa: E731
         make_valid = (lambda: batch_iterator(valid_ds, cfg.batch_size, False)) if valid_ds else None
@@ -319,6 +349,12 @@ def cmd_infer(args) -> int:
     params = state["params"] if isinstance(state, dict) else state.params
     mutable = state.get("mutable") if isinstance(state, dict) else state.mutable
     logging.info("restored step %s", step)
+    if args.avg_last and args.avg_last > 1:
+        from ..train.checkpoints import average_checkpoints
+
+        steps = mgr.all_steps()[-args.avg_last :]
+        params = average_checkpoints(mgr, steps, state)
+        logging.info("averaged %d checkpoints: %s", len(steps), steps)
 
     fe = _frontend_from_cfg(cfg)
     fs = fe.frame_shift * fe.subsampling / fe.sample_rate
@@ -346,6 +382,35 @@ def cmd_infer(args) -> int:
             lambda a, m: predict(jnp.asarray(a), jnp.asarray(m)), args.data_dir, fe,
             cfg.chunk_frames, threshold=args.attractor_threshold,
         )
+    elif cfg.family == "fs_eend":
+        from ..infer import infer_dataset
+
+        @jax.jit
+        def predict(a, m):
+            logits, _emb = model.apply(params, a, frame_mask=m, deterministic=True)
+            # channel 0 is silence, last is padding — keep speaker channels
+            return jax.nn.sigmoid(logits[..., 1 : 1 + cfg.n_speakers]) * m[..., None]
+
+        probs = infer_dataset(
+            lambda a, m: predict(jnp.asarray(a), jnp.asarray(m)), args.data_dir, fe, cfg.chunk_frames
+        )
+    elif cfg.family == "eend_vc":
+        from ..data.kaldi_io import KaldiData
+        from ..infer.eend_vc import eend_vc_infer_recording
+
+        @jax.jit
+        def predict(a, m):
+            logits, vecs = model.apply(params, a, frame_mask=m, deterministic=True)
+            return jax.nn.sigmoid(logits) * m[..., None], vecs
+
+        kd = KaldiData(args.data_dir)
+        probs = {}
+        for rec in sorted(kd.wavs):
+            audio, rate = kd.load_wav(rec)
+            assert rate == fe.sample_rate
+            probs[rec] = eend_vc_infer_recording(
+                lambda a, m: predict(jnp.asarray(a), jnp.asarray(m)), audio, fe, cfg.chunk_frames
+            )
     elif cfg.family == "tsvad":
         from ..data.tsvad_dataset import TSVADChunkDataset
         from ..infer import tsvad_infer_dataset
@@ -375,6 +440,27 @@ def cmd_infer(args) -> int:
     else:
         raise ValueError(cfg.family)
 
+    if args.threshold_sweep:
+        # reference sweep (ts_vad2/infer.py:79): write one RTTM per
+        # threshold; score each when --ref given, report the best
+        from ..score import score_der
+
+        best = None
+        for th in [round(0.2 + 0.05 * i, 2) for i in range(13)]:
+            turns_t = []
+            for rec, p in probs.items():
+                turns_t += probs_to_turns(p, rec, fs, threshold=th, median=args.median)
+            out_t = f"{args.out}_{th:.2f}"
+            write_rttm(out_t, turns_t)
+            if args.ref:
+                res = score_der(args.ref, out_t, collar=0.25)
+                print(f"threshold {th:.2f}: {res.summary()}")
+                if best is None or res.der < best[1]:
+                    best = (th, res.der, out_t)
+        if best:
+            print(f"best threshold {best[0]:.2f} (DER {100*best[1]:.2f}%) → {best[2]}")
+        return 0
+
     for rec, p in probs.items():
         turns += probs_to_turns(p, rec, fs, threshold=args.threshold, median=args.median)
     write_rttm(args.out, turns)
@@ -403,7 +489,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_simulate)
 
     t = sub.add_parser("train", help="train a diarization model")
-    t.add_argument("--family", choices=["eend", "eend_eda", "tsvad"])
+    t.add_argument("--family", choices=["eend", "eend_eda", "fs_eend", "eend_vc", "tsvad"])
     t.add_argument("--config", help="YAML config (TrainCliConfig fields)")
     t.add_argument("--set", action="append", default=[], help="dotted overrides key=value")
     t.add_argument("--train-dir", required=True)
@@ -417,7 +503,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="run chunked inference → RTTM")
-    i.add_argument("--family", choices=["eend", "eend_eda", "tsvad"])
+    i.add_argument("--family", choices=["eend", "eend_eda", "fs_eend", "eend_vc", "tsvad"])
     i.add_argument("--config")
     i.add_argument("--set", action="append", default=[])
     i.add_argument("--data-dir", required=True)
@@ -429,6 +515,9 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--attractor-threshold", type=float, default=0.5)
     i.add_argument("--emb-store")
     i.add_argument("--infer-shift", type=float, default=1.0)
+    i.add_argument("--threshold-sweep", action="store_true", help="write RTTMs for thresholds 0.2..0.8")
+    i.add_argument("--ref", help="reference RTTM for sweep scoring")
+    i.add_argument("--avg-last", type=int, default=0, help="average the last K checkpoints")
     i.set_defaults(fn=cmd_infer)
 
     sc = sub.add_parser("score", help="score hypothesis RTTM (DER + optional CDER)")
