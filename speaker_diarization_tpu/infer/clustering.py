@@ -99,6 +99,58 @@ def spectral_cluster(
 # ---------------------------------------------------------------------------
 
 
+def pahc_merge(
+    embeddings: np.ndarray,
+    labels: np.ndarray,
+    merge_threshold: float = 0.6,
+    min_cluster_frac: float = 0.1,
+) -> np.ndarray:
+    """Post-AHC cluster refinement (reference umap_clusterer.py PAHC):
+    merge clusters whose centroid cosine similarity exceeds the threshold,
+    then absorb clusters smaller than min_cluster_frac of the largest into
+    their nearest surviving cluster."""
+    labels = np.asarray(labels, np.int32).copy()
+    X = np.asarray(embeddings, np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    def centroids():
+        out = {}
+        for c in np.unique(labels):
+            v = Xn[labels == c].mean(axis=0)
+            out[c] = v / max(np.linalg.norm(v), 1e-12)
+        return out
+
+    # merge phase
+    changed = True
+    while changed:
+        changed = False
+        cents = centroids()
+        keys = sorted(cents)
+        best = None
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                sim = float(cents[keys[i]] @ cents[keys[j]])
+                if sim > merge_threshold and (best is None or sim > best[0]):
+                    best = (sim, keys[i], keys[j])
+        if best is not None:
+            labels[labels == best[2]] = best[1]
+            changed = True
+    # absorb phase
+    cents = centroids()
+    sizes = {c: int((labels == c).sum()) for c in cents}
+    if sizes:
+        largest = max(sizes.values())
+        small = [c for c, n in sizes.items() if n < min_cluster_frac * largest]
+        big = [c for c in cents if c not in small]
+        if big:
+            for c in small:
+                tgt = max(big, key=lambda b: float(cents[c] @ cents[b]))
+                labels[labels == c] = tgt
+    # relabel densely
+    remap = {c: i for i, c in enumerate(sorted(np.unique(labels)))}
+    return np.asarray([remap[c] for c in labels], np.int32)
+
+
 def density_cluster(
     embeddings: np.ndarray,
     n_components: int = 8,
@@ -266,7 +318,7 @@ def cluster_recording(
     if method == "spectral":
         labels = spectral_cluster(embs, num_spks=num_spks, max_num_spks=max_num_spks)
     elif method == "umap":
-        labels = density_cluster(embs)
+        labels = pahc_merge(embs, density_cluster(embs))
     else:
         raise ValueError(method)
 
