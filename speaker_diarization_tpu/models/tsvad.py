@@ -48,9 +48,11 @@ class TSVADConfig:
     multi_backend_type: str = "transformer"
     d_state: int = 64  # mamba state size (reference mamba2 cfg)
     expand: int = 2
-    speech_encoder_type: str = "campplus"  # campplus | wavlm | wavlm_weight_sum
+    speech_encoder_type: str = "campplus"  # campplus | wavlm | wavlm_weight_sum | w2vbert
     wavlm_layers: int = 12  # transformer layers used (reference select 6-12)
     wavlm_embed_dim: int = 768
+    w2vbert_layers: int = 6  # reference best config uses the first 6 layers
+    w2vbert_dim: int = 1024
 
 
 class BackendTransformer(nn.Module):
@@ -122,6 +124,19 @@ class TSVADModel(nn.Module):
             if c.speech_encoder_type == "wavlm_weight_sum":
                 # layer-weighted sum (reference WavLM_weight_sum, model.py:517)
                 self.wavlm_weights = self.param("wavlm_weights", nn.initializers.zeros, (c.wavlm_layers,))
+        elif c.speech_encoder_type == "w2vbert":
+            from .w2vbert import W2vBertConfig, W2vBertModel
+
+            self.speech_encoder = W2vBertModel(
+                cfg=W2vBertConfig(
+                    hidden_size=c.w2vbert_dim,
+                    num_layers=c.w2vbert_layers,
+                    num_heads=max(1, c.w2vbert_dim // 64),
+                    intermediate_size=4 * c.w2vbert_dim,
+                    feature_input_dim=2 * c.feat_dim,
+                ),
+                dtype=self.dtype,
+            )
         else:
             raise ValueError(f"unknown speech_encoder_type: {c.speech_encoder_type}")
         self.speech_down = ConvBnRelu(c.speaker_embed_dim, kernel=5, stride=2, dtype=self.dtype)
@@ -170,6 +185,14 @@ class TSVADModel(nn.Module):
             x = jnp.einsum("l,lbtd->btd", w, stacked)
         elif c.speech_encoder_type == "wavlm":
             x = self.speech_encoder.extract_features(audio_or_fbank)  # (B, T50, 768)
+        elif c.speech_encoder_type == "w2vbert":
+            from .w2vbert import fbank_to_w2vbert_features
+
+            if audio_or_fbank.ndim == 2:
+                fbank = F.kaldi_fbank_auto(audio_or_fbank, sample_rate=c.sample_rate, num_mel_bins=c.feat_dim, mean_norm=True)
+            else:
+                fbank = audio_or_fbank
+            x = self.speech_encoder(fbank_to_w2vbert_features(fbank))  # (B, T50, D)
         else:
             if audio_or_fbank.ndim == 2:
                 fbank = F.kaldi_fbank_auto(audio_or_fbank, sample_rate=c.sample_rate, num_mel_bins=c.feat_dim, mean_norm=True)

@@ -235,6 +235,55 @@ def whisper_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = "")
     return params
 
 
+def w2vbert_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = "") -> dict:
+    """Convert a transformers Wav2Vec2BertModel state_dict to flax params
+    (models/w2vbert.py)."""
+    params: dict = {}
+    for name, w in state_dict.items():
+        if prefix:
+            if not name.startswith(prefix):
+                continue
+            name = name[len(prefix):]
+        w = _np(w)
+        parts = name.split(".")
+        if parts[0] == "masked_spec_embed":
+            continue
+        if parts[0] == "feature_projection":
+            if parts[1] == "layer_norm":
+                _set(params, ("fp_layer_norm", "scale" if parts[-1] == "weight" else "bias"), w)
+            else:
+                _set(params, ("fp_projection", "kernel" if parts[-1] == "weight" else "bias"),
+                     w.T if parts[-1] == "weight" else w)
+            continue
+        if parts[0] == "encoder" and parts[1] == "layers":
+            i, sub = parts[2], parts[3]
+            blk = f"layer_{i}"
+            if sub in ("ffn1_layer_norm", "ffn2_layer_norm", "self_attn_layer_norm", "final_layer_norm"):
+                _set(params, (blk, sub, "scale" if parts[-1] == "weight" else "bias"), w)
+            elif sub in ("ffn1", "ffn2"):
+                which = parts[4]  # intermediate_dense | output_dense
+                _set(params, (blk, sub, which, "kernel" if parts[-1] == "weight" else "bias"),
+                     w.T if parts[-1] == "weight" else w)
+            elif sub == "self_attn":
+                which = parts[4]
+                if which == "distance_embedding":
+                    _set(params, (blk, "self_attn", "distance_embedding"), w)
+                else:
+                    _set(params, (blk, "self_attn", which, "kernel" if parts[-1] == "weight" else "bias"),
+                         w.T if parts[-1] == "weight" else w)
+            elif sub == "conv_module":
+                which = parts[4]
+                if which in ("layer_norm", "depthwise_layer_norm"):
+                    _set(params, (blk, "conv_module", which, "scale" if parts[-1] == "weight" else "bias"), w)
+                elif which in ("pointwise_conv1", "pointwise_conv2"):
+                    # torch Conv1d (out, in, 1) → flax (1, in, out)
+                    _set(params, (blk, "conv_module", which, "kernel"), w.transpose(2, 1, 0))
+                elif which == "depthwise_conv":
+                    # torch depthwise (out, 1, k) → flax (k, 1, out)
+                    _set(params, (blk, "conv_module", which, "kernel"), w.transpose(2, 1, 0))
+    return params
+
+
 def load_campplus_checkpoint(path: str, prefix: str = "") -> Tuple[dict, dict]:
     """Load a torch .pt/.bin CAM++ checkpoint into flax (params, batch_stats)."""
     import torch
