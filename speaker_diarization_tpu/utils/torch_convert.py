@@ -284,6 +284,65 @@ def w2vbert_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = "")
     return params
 
 
+def hubert_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = "") -> dict:
+    """Convert a transformers HubertModel / Wav2Vec2Model state_dict to the
+    flax WavLM trunk (models/wavlm.py with relative_position_embedding=False,
+    gru_rel_pos=False — HuBERT/wav2vec2 are that architecture minus the
+    gated relative bias)."""
+    params: dict = {}
+    sd = {}
+    for k, v in state_dict.items():
+        if prefix:
+            if not k.startswith(prefix):
+                continue
+            k = k[len(prefix):]
+        sd[k] = _np(v)
+
+    g = sd.get("encoder.pos_conv_embed.conv.parametrizations.weight.original0")
+    v = sd.get("encoder.pos_conv_embed.conv.parametrizations.weight.original1")
+    if g is None:
+        g = sd.get("encoder.pos_conv_embed.conv.weight_g")
+        v = sd.get("encoder.pos_conv_embed.conv.weight_v")
+    if g is not None and v is not None:
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        w = g * v / np.maximum(norm, 1e-12)
+        _set(params, ("pos_conv", "kernel"), w.transpose(2, 1, 0))
+    if "encoder.pos_conv_embed.conv.bias" in sd:
+        _set(params, ("pos_conv", "bias"), sd["encoder.pos_conv_embed.conv.bias"])
+
+    for name, w in sd.items():
+        parts = name.split(".")
+        if name.startswith("feature_extractor.conv_layers."):
+            i = parts[2]
+            if parts[3] == "conv" and parts[-1] == "weight":
+                _set(params, ("feature_extractor", f"conv_{i}", "kernel"), w.transpose(2, 1, 0))
+            elif parts[3] == "layer_norm":  # GroupNorm on layer 0 ('group' mode)
+                _set(params, ("feature_extractor", "gn0", "scale" if parts[-1] == "weight" else "bias"), w)
+        elif name.startswith("feature_projection.layer_norm."):
+            _set(params, ("layer_norm", "scale" if parts[-1] == "weight" else "bias"), w)
+        elif name.startswith("feature_projection.projection."):
+            _set(params, ("post_extract_proj", "kernel" if parts[-1] == "weight" else "bias"),
+                 w.T if parts[-1] == "weight" else w)
+        elif name in ("encoder.layer_norm.weight", "encoder.layer_norm.bias"):
+            _set(params, ("encoder_layer_norm", "scale" if parts[-1] == "weight" else "bias"), w)
+        elif name.startswith("encoder.layers."):
+            i, sub = parts[2], parts[3]
+            blk = f"layer_{i}"
+            if sub == "attention":
+                which = parts[4]
+                _set(params, (blk, "self_attn", which, "kernel" if parts[-1] == "weight" else "bias"),
+                     w.T if parts[-1] == "weight" else w)
+            elif sub == "layer_norm":
+                _set(params, (blk, "self_attn_layer_norm", "scale" if parts[-1] == "weight" else "bias"), w)
+            elif sub == "final_layer_norm":
+                _set(params, (blk, "final_layer_norm", "scale" if parts[-1] == "weight" else "bias"), w)
+            elif sub == "feed_forward":
+                which = "fc1" if parts[4] == "intermediate_dense" else "fc2"
+                _set(params, (blk, which, "kernel" if parts[-1] == "weight" else "bias"),
+                     w.T if parts[-1] == "weight" else w)
+    return params
+
+
 def load_campplus_checkpoint(path: str, prefix: str = "") -> Tuple[dict, dict]:
     """Load a torch .pt/.bin CAM++ checkpoint into flax (params, batch_stats)."""
     import torch
