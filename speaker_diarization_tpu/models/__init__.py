@@ -15,4 +15,5 @@ from .mamba import BiMambaBlock  # noqa: F401
 from .wavlm import WavLMModel, WavLMFlaxConfig  # noqa: F401
 from .whisper_encoder import WhisperEncoder, WhisperEncoderConfig  # noqa: F401
 from .eres2net import ERes2Net  # noqa: F401
-from .speaker_encoders import ECAPA_TDNN, ResNet34, build_speaker_encoder  # noqa: F401
+from .speaker_encoders import ECAPA_TDNN, ResNet34, SimAMResNet34, build_speaker_encoder  # noqa: F401
+from .redimnet import ReDimNet  # noqa: F401

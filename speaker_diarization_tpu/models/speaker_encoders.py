@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Literal, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -203,11 +204,105 @@ class ResNet34(nn.Module):
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="embed_linear")(p)
 
 
+def simam(x: jnp.ndarray, lambda_p: float = 1e-4) -> jnp.ndarray:
+    """SimAM parameter-free attention over the spatial (T, F) dims.
+
+    Reference: `egs/alimeeting/ts_vad2/samresnet_wespeaker.py:65-70`.
+    x: (B, T, F, C) channel-last.
+    """
+    n = x.shape[1] * x.shape[2] - 1
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    d = jnp.square(x - mean)
+    v = jnp.sum(d, axis=(1, 2), keepdims=True) / n
+    e_inv = d / (4.0 * (v + lambda_p)) + 0.5
+    return x * nn.sigmoid(e_inv)
+
+
+class SimAMBasicBlock2d(nn.Module):
+    """Basic ResNet block with SimAM attention before the residual add
+    (reference SimAMBasicBlock, samresnet_wespeaker.py:21-70)."""
+
+    planes: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_c = x.shape[-1]
+        h = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        h = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(h))
+        h = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(h)
+        h = simam(h.astype(jnp.float32)).astype(h.dtype)
+        if self.stride != 1 or in_c != self.planes:
+            sc = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride), use_bias=False, dtype=self.dtype, name="shortcut_conv")(x)
+            sc = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="shortcut_bn")(sc)
+        else:
+            sc = x
+        return nn.relu(h + sc)
+
+
+class WespeakerASP(nn.Module):
+    """Channel-wise attentive statistics pooling (wespeaker ASP,
+    pooling_layers_wespeaker.py:146-168): per-channel softmax attention over
+    time, weighted mean‖std."""
+
+    bottleneck: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, T, D)
+        a = nn.relu(nn.Conv(self.bottleneck, (1,), dtype=self.dtype, name="att_conv1")(x))
+        a = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="att_bn")(a)
+        a = nn.Conv(x.shape[-1], (1,), dtype=self.dtype, name="att_conv2")(a)
+        w = jax.nn.softmax(a.astype(jnp.float32), axis=1)
+        xf = x.astype(jnp.float32)
+        mu = jnp.sum(xf * w, axis=1)
+        sg = jnp.sqrt(jnp.clip(jnp.sum(xf * xf * w, axis=1) - mu * mu, 1e-5, None))
+        return jnp.concatenate([mu, sg], axis=-1)
+
+
+class SimAMResNet34(nn.Module):
+    """SimAM-ResNet34 (wespeaker): fbank (B, T, feat) → 'frames'
+    (B, ceil(T/8), 8m·F/8) at 12.5 Hz or ASP embedding.
+
+    Reference: SimAM_ResNet34_ASP, samresnet_wespeaker.py:126-160
+    (in_planes=64 ⇒ frames dim 512·(80/8)=5120, matching the TS-VAD
+    model_dim=5120 wiring at ts_vad2/model.py:608-630).
+    """
+
+    feat_dim: int = 80
+    embed_dim: int = 256
+    m_channels: int = 64
+    num_blocks: Sequence[int] = (3, 4, 6, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mode: Literal["frames", "embedding"] = "embedding"):
+        h = x[:, :, :, None]  # (B, T, F, 1)
+        h = nn.Conv(self.m_channels, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv1")(h)
+        h = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(h))
+        planes = self.m_channels
+        for gi, (n, stride) in enumerate(zip(self.num_blocks, (1, 2, 2, 2))):
+            for bi in range(n):
+                h = SimAMBasicBlock2d(planes, stride if bi == 0 else 1, dtype=self.dtype, name=f"layer{gi + 1}_{bi}")(h, train)
+            planes *= 2
+        B2, T8, F8, C = h.shape
+        h = h.reshape(B2, T8, F8 * C)
+        if mode == "frames":
+            return h  # (B, T/8, 5120) @ 12.5 Hz
+        p = WespeakerASP(dtype=self.dtype, name="pool")(h, train=train)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="bottleneck")(p)
+
+
 SPEAKER_ENCODERS = {
     "campplus": "speaker_diarization_tpu.models.campplus:CAMPPlus",
     "ecapa_tdnn": "speaker_diarization_tpu.models.speaker_encoders:ECAPA_TDNN",
     "resnet34": "speaker_diarization_tpu.models.speaker_encoders:ResNet34",
+    "simam_resnet34": "speaker_diarization_tpu.models.speaker_encoders:SimAMResNet34",
     "eres2net": "speaker_diarization_tpu.models.eres2net:ERes2Net",
+    "redimnet": "speaker_diarization_tpu.models.redimnet:ReDimNet",
     "wavlm": "speaker_diarization_tpu.models.wavlm:WavLMModel",
     "whisper": "speaker_diarization_tpu.models.whisper_encoder:WhisperEncoder",
 }

@@ -48,7 +48,7 @@ class TSVADConfig:
     multi_backend_type: str = "transformer"
     d_state: int = 64  # mamba state size (reference mamba2 cfg)
     expand: int = 2
-    speech_encoder_type: str = "campplus"  # campplus | wavlm | wavlm_weight_sum | w2vbert
+    speech_encoder_type: str = "campplus"  # campplus | wavlm | wavlm_weight_sum | w2vbert | resnet34 | simam_resnet34 | ecapa
     wavlm_layers: int = 12  # transformer layers used (reference select 6-12)
     wavlm_embed_dim: int = 768
     w2vbert_layers: int = 6  # reference best config uses the first 6 layers
@@ -88,6 +88,21 @@ class ConvBnRelu(nn.Module):
     def __call__(self, x, train: bool = False):
         pad = (self.kernel - 1) // 2
         x = nn.Conv(self.out_channels, (self.kernel,), strides=(self.stride,), padding=[(pad, pad)], dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class SpeechFeatUpsample(nn.Module):
+    """ConvTranspose ×2 upsample 12.5 Hz → 25 Hz for ResNet-family encoders
+    (reference SpeechFeatUpsample2, ts_vad2/model.py:114-134)."""
+
+    out_channels: int
+    upsample: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.out_channels, (5,), strides=(self.upsample,), padding="SAME", dtype=self.dtype, name="up")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
@@ -137,9 +152,37 @@ class TSVADModel(nn.Module):
                 ),
                 dtype=self.dtype,
             )
+        elif c.speech_encoder_type in ("resnet34", "simam_resnet34"):
+            from .speaker_encoders import ResNet34, SimAMResNet34
+
+            # reference resnet34_wespeaker / simam_resnet34_wespeaker wiring
+            # (ts_vad2/model.py:584-630): 8× subsampled frames at 12.5 Hz,
+            # upsampled ×2 to the 25 Hz label rate.
+            if c.speech_encoder_type == "resnet34":
+                self.speech_encoder = ResNet34(feat_dim=c.feat_dim, dtype=self.dtype)
+            else:
+                self.speech_encoder = SimAMResNet34(feat_dim=c.feat_dim, dtype=self.dtype)
+        elif c.speech_encoder_type == "ecapa":
+            from .speaker_encoders import ECAPA_TDNN
+
+            # reference ecapa_channel_1024_wespeaker (model.py:632-655):
+            # 100 Hz frames, stride-4 conv down to 25 Hz.
+            self.speech_encoder = ECAPA_TDNN(channels=1024, feat_dim=c.feat_dim, dtype=self.dtype)
+        elif c.speech_encoder_type.startswith("redimnet"):
+            from .redimnet import ReDimNet
+
+            # reference ReDimNetB* wiring (magicdata-ramc ts_vad2/model.py):
+            # un-subsampled 100 Hz frames of dim C·F, stride-4 conv to 25 Hz.
+            # cfg.feat_dim must match the size's fbank dim (72 for b1-b3, 60 for b0).
+            self.speech_encoder = ReDimNet(size=c.speech_encoder_type.split("_")[-1], feat_dim=c.feat_dim, dtype=self.dtype)
         else:
             raise ValueError(f"unknown speech_encoder_type: {c.speech_encoder_type}")
-        self.speech_down = ConvBnRelu(c.speaker_embed_dim, kernel=5, stride=2, dtype=self.dtype)
+        if c.speech_encoder_type in ("resnet34", "simam_resnet34"):
+            self.speech_down = SpeechFeatUpsample(c.speaker_embed_dim, upsample=2, dtype=self.dtype)
+        elif c.speech_encoder_type == "ecapa" or c.speech_encoder_type.startswith("redimnet"):
+            self.speech_down = ConvBnRelu(c.speaker_embed_dim, kernel=5, stride=4, dtype=self.dtype)
+        else:
+            self.speech_down = ConvBnRelu(c.speaker_embed_dim, kernel=5, stride=2, dtype=self.dtype)
         if c.speaker_embed_dim * 2 != c.transformer_embed_dim:
             self.proj_layer = nn.Dense(c.transformer_embed_dim, dtype=self.dtype)
         else:

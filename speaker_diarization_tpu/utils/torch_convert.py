@@ -121,13 +121,13 @@ def campplus_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = ""
 
 def _map_bn(params, stats, path, leaf, w):
     if leaf == "weight":
-        _set(params, path + ("scale",), w)
+        _set(params, path + ("scale",), _np(w))
     elif leaf == "bias":
-        _set(params, path + ("bias",), w)
+        _set(params, path + ("bias",), _np(w))
     elif leaf == "running_mean":
-        _set(stats, path + ("mean",), w)
+        _set(stats, path + ("mean",), _np(w))
     elif leaf == "running_var":
-        _set(stats, path + ("var",), w)
+        _set(stats, path + ("var",), _np(w))
     # num_batches_tracked: ignored
 
 
@@ -341,6 +341,163 @@ def hubert_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = "") 
                 _set(params, (blk, which, "kernel" if parts[-1] == "weight" else "bias"),
                      w.T if parts[-1] == "weight" else w)
     return params
+
+
+def redimnet_torch_to_flax(state_dict: Dict[str, "np.ndarray"], stages_setup, prefix: str = "") -> Tuple[dict, dict]:
+    """Convert a reference ReDimNet state_dict (redimnet.py) to
+    (params, batch_stats) for models/redimnet.py::ReDimNet.
+
+    `stages_setup` is needed to decode the per-stage nn.Sequential indices
+    (pool conv / blocks / squeeze-back / to1d / time-context block).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def conv_k(w):
+        w = _np(w)
+        if w.ndim == 3:
+            return w.transpose(2, 1, 0)
+        if w.ndim == 4:
+            return w.transpose(2, 3, 1, 0)
+        raise ValueError(w.shape)
+
+    def dense_k(w):
+        return _np(w).T
+
+    def put_conv(path, leaf, w):
+        _set(params, path + ("kernel" if leaf == "weight" else "bias",), conv_k(w) if leaf == "weight" else _np(w))
+
+    def put_dense(path, leaf, w):
+        _set(params, path + ("kernel" if leaf == "weight" else "bias",), dense_k(w) if leaf == "weight" else _np(w))
+
+    def put_ln(path, leaf, w):
+        _set(params, path + ("scale" if leaf == "weight" else "bias",), _np(w))
+
+    def map_transformer(base, rest, leaf, w):
+        sub = rest[0]
+        if sub == "attention":
+            put_dense(base + ("attention", rest[1]), leaf, w)
+        elif sub == "layer_norm":
+            put_ln(base + ("layer_norm",), leaf, w)
+        elif sub == "final_layer_norm":
+            put_ln(base + ("final_layer_norm",), leaf, w)
+        elif sub == "feed_forward":
+            name = "ff_intermediate" if rest[1] == "intermediate_dense" else "ff_output"
+            put_dense(base + (name,), leaf, w)
+
+    def map_convnext(base, rest, leaf, w):
+        if rest[0] == "dwconvs":
+            put_conv(base + (f"dwconv_{rest[1]}",), leaf, w)
+        elif rest[0] == "norm":
+            _map_bn(params, stats, base + ("norm",), leaf, w)
+        elif rest[0] == "pwconv1":
+            put_conv(base + ("pwconv1",), leaf, w)
+
+    def map_tcb(base, rest, leaf, w, block_1d_type):
+        if rest[0] == "red_dim_conv":
+            if rest[1] == "0":
+                put_conv(base + ("red_dim_conv",), leaf, w)
+            else:
+                put_ln(base + ("red_dim_norm",), leaf, w)
+        elif rest[0] == "exp_dim_conv":
+            put_conv(base + ("exp_dim_conv",), leaf, w)
+        elif rest[0] == "tcm":
+            idx = rest[1]
+            if block_1d_type == "conv+att":
+                if idx in ("0", "1", "2", "3"):
+                    map_convnext(base + (f"tcm_conv_{idx}",), rest[2:], leaf, w)
+                else:
+                    map_transformer(base + ("tcm_att",), rest[2:], leaf, w)
+            elif block_1d_type == "att":
+                if idx == "0":
+                    if rest[2] == "conv":
+                        put_conv(base + ("tcm_pos", "conv"), leaf, w)
+                    else:
+                        put_ln(base + ("tcm_pos", "norm"), leaf, w)
+                else:
+                    map_transformer(base + ("tcm_att",), rest[2:], leaf, w)
+            elif block_1d_type == "fc":
+                if idx == "0":
+                    put_conv(base + ("tcm_fc1",), leaf, w)
+                elif idx == "1":
+                    put_ln(base + ("tcm_norm",), leaf, w)
+                else:
+                    put_conv(base + ("tcm_fc2",), leaf, w)
+
+    def map_block2d(base, rest, leaf, w):
+        # rest starts after 'conv_block.'
+        sub = rest[0]
+        if sub in ("conv1", "conv1pw", "conv2", "conv2pw", "pwconv1"):
+            put_conv(base + (sub,), leaf, w)
+        elif sub in ("bn1", "bn2", "norm"):
+            _map_bn(params, stats, base + (sub,), leaf, w)
+        elif sub == "dwconvs":
+            put_conv(base + (f"dwconv_{rest[1]}",), leaf, w)
+        elif sub == "se":
+            put_dense(base + ("se", rest[1]), leaf, w)
+        elif sub == "downsample":
+            if rest[1] == "0":
+                put_conv(base + ("downsample_conv",), leaf, w)
+            else:
+                _map_bn(params, stats, base + ("downsample_bn",), leaf, w)
+
+    for name, w in state_dict.items():
+        if prefix:
+            if not name.startswith(prefix):
+                continue
+            name = name[len(prefix):]
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] == "backbone":
+            rest = parts[1:]
+            if rest[0] == "inputs_weights":
+                i = int(rest[1])
+                if i == 0:
+                    continue  # fixed ones; softmax over one input is identity
+                _set(params, ("backbone", f"inputs_weights_{i}"), _np(w)[0, :, :, 0])
+            elif rest[0] == "stem":
+                if rest[1] == "0":
+                    put_conv(("backbone", "stem_conv"), leaf, w)
+                else:
+                    put_ln(("backbone", "stem_norm"), leaf, w)
+            elif rest[0] == "mfa":
+                if rest[1] == "0":
+                    put_conv(("backbone", "mfa_conv"), leaf, w)
+                else:
+                    _map_bn(params, stats, ("backbone", "mfa_bn"), leaf, w)
+            elif rest[0].startswith("stage"):
+                si = int(rest[0][5:])
+                stride, num_blocks, conv_exp, _ks, att_red = stages_setup[si]
+                idx = int(rest[1])
+                base = ("backbone", f"stage{si}")
+                squeeze_at = num_blocks + 1 if conv_exp != 1 else None
+                tcb_at = num_blocks + (2 if conv_exp != 1 else 1) + 1
+                if idx == 0:
+                    put_conv(base + ("pool_conv",), leaf, w)
+                elif 1 <= idx <= num_blocks:
+                    # parts: backbone.stageN.idx.conv_block.<rest>
+                    map_block2d(base + (f"block_{idx - 1}", "conv_block"), parts[4:], leaf, w)
+                elif squeeze_at is not None and idx == squeeze_at:
+                    which = parts[3]
+                    if which == "0":
+                        put_conv(base + ("squeeze_conv",), leaf, w)
+                    elif which == "1":
+                        _map_bn(params, stats, base + ("squeeze_bn",), leaf, w)
+                    else:
+                        put_conv(base + ("squeeze_pw",), leaf, w)
+                elif idx == tcb_at:
+                    # infer block_1d_type from key names
+                    map_tcb(base + ("tcb",), parts[3:], leaf, w,
+                            "conv+att" if any(f"{rest[0]}.{idx}.tcm.4." in k for k in state_dict) or
+                                          any(f"{rest[0]}.{idx}.tcm.3.dwconvs" in k for k in state_dict)
+                            else ("att" if any(f"{rest[0]}.{idx}.tcm.0.conv." in k for k in state_dict) else "fc"))
+        elif parts[0] == "pool":
+            put_dense((f"pool_{parts[1]}",), leaf, _np(w)[:, :, 0] if leaf == "weight" else w)
+        elif parts[0] == "seg_1":
+            put_dense(("seg_1",), leaf, w)
+    return params, stats
 
 
 def load_campplus_checkpoint(path: str, prefix: str = "") -> Tuple[dict, dict]:

@@ -77,6 +77,47 @@ class TestEncoders:
         assert frames.shape[0] == 2 and frames.shape[1] == 8  # T/8
         assert np.isfinite(np.asarray(frames)).all()
 
+    def test_simam_resnet34_modes(self):
+        from speaker_diarization_tpu.models.speaker_encoders import SimAMResNet34, simam
+
+        m = SimAMResNet34(feat_dim=24, embed_dim=32, m_channels=8)
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 64, 24)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x, False, "embedding")
+        emb = m.apply(v, x, False, "embedding")
+        frames = m.apply(v, x, False, "frames")
+        assert emb.shape == (2, 32)
+        # frames dim = 8m · F/8 (reference D=5120 for m=64, F=80)
+        assert frames.shape == (2, 8, 8 * 8 * (24 // 8))
+        assert np.isfinite(np.asarray(emb)).all()
+
+        # SimAM semantics vs the reference formula on a raw array
+        y = np.random.default_rng(3).standard_normal((1, 5, 4, 3)).astype(np.float32)
+        out = np.asarray(simam(jnp.asarray(y)))
+        n = 5 * 4 - 1
+        d = (y - y.mean(axis=(1, 2), keepdims=True)) ** 2
+        vvar = d.sum(axis=(1, 2), keepdims=True) / n
+        e_inv = d / (4 * (vvar + 1e-4)) + 0.5
+        np.testing.assert_allclose(out, y / (1 + np.exp(-e_inv)), rtol=1e-5)
+
+    def test_tsvad_simam_encoder_forward(self):
+        from speaker_diarization_tpu.models.tsvad import TSVADConfig, TSVADModel
+
+        cfg = TSVADConfig(
+            speech_encoder_type="simam_resnet34",
+            transformer_ffn_embed_dim=256,
+            num_transformer_layer=1,
+            dropout=0.0,
+            feat_dim=40,
+        )
+        model = TSVADModel(cfg=cfg)
+        B = 1
+        audio = jnp.asarray(np.random.default_rng(4).standard_normal((B, 16000)).astype(np.float32) * 0.05)
+        embs = jnp.asarray(np.random.default_rng(5).standard_normal((B, 4, 192)).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), audio, embs, 25)
+        logits = model.apply(v, audio, embs, 25)
+        assert logits.shape == (B, 25, 4)
+        assert np.isfinite(np.asarray(logits)).all()
+
     def test_zoo_factory(self):
         m = build_speaker_encoder("ecapa_tdnn", channels=64, feat_dim=24, embed_dim=16)
         assert isinstance(m, ECAPA_TDNN)
