@@ -264,6 +264,24 @@ def cmd_simulate(args) -> int:
     return 0
 
 
+def cmd_simulate_meetings(args) -> int:
+    import json
+
+    from ..data import simulate as S
+
+    dynamics = None
+    if args.dynamics:
+        with open(args.dynamics) as f:
+            dynamics = json.load(f)
+    specs = S.meeting_mixture_specs(
+        args.source_dir, dynamics=dynamics, noise_dir=args.noise_dir,
+        rir_dir=args.rir_dir, seed=args.seed,
+    )
+    out = S.make_meeting_mixtures(specs, os.path.join(args.out, "data"), os.path.join(args.out, "wav"), args.rate)
+    print(out)
+    return 0
+
+
 def cmd_score(args) -> int:
     from ..score import score_der
     from ..score.cder import score_cder
@@ -487,6 +505,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--rate", type=int, default=8000)
     s.add_argument("--seed", type=int, default=777)
     s.set_defaults(fn=cmd_simulate)
+
+    sm = sub.add_parser("simulate-meetings", help="LibriCSS-style meeting simulation from a single-speaker corpus")
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--source-dir", required=True, help="Kaldi dir of single-speaker utts")
+    sm.add_argument("--noise-dir")
+    sm.add_argument("--rir-dir")
+    sm.add_argument("--dynamics", help="JSON meeting-dynamics config (default: built-in LibriCSS shapes)")
+    sm.add_argument("--rate", type=int, default=8000)
+    sm.add_argument("--seed", type=int, default=7)
+    sm.set_defaults(fn=cmd_simulate_meetings)
 
     t = sub.add_parser("train", help="train a diarization model")
     t.add_argument("--family", choices=["eend", "eend_eda", "fs_eend", "eend_vc", "tsvad"])

@@ -275,6 +275,256 @@ def make_mixtures(
     return out_data_dir
 
 
+# ---------------------------------------------------------------------------
+# LibriCSS-style meeting simulation
+# (reference source_md/gen_mixspec_mtg.py + mixaudio_mtg.py)
+# ---------------------------------------------------------------------------
+
+# Mirror of source_md/meeting_dynamics.json: five equally-likely session
+# shapes trading #speakers against utterances per speaker.
+DEFAULT_MEETING_DYNAMICS = {
+    "probabilities": {f"cfg{i}": 0.2 for i in range(1, 6)},
+    "configurations": {
+        "cfg1": dict(speakers_per_session=[7, 8], utterances_per_speaker=[2],
+                     overlap_time_ratio=[0.0, 0.3], silence_probability=0.1,
+                     silence_duration=[0.6, 2.0], allow_3fold_overlap=False),
+        "cfg2": dict(speakers_per_session=[5, 6], utterances_per_speaker=[3],
+                     overlap_time_ratio=[0.0, 0.3], silence_probability=0.1,
+                     silence_duration=[0.6, 2.0], allow_3fold_overlap=False),
+        "cfg3": dict(speakers_per_session=[4], utterances_per_speaker=[3, 4],
+                     overlap_time_ratio=[0.0, 0.3], silence_probability=0.1,
+                     silence_duration=[0.6, 2.0], allow_3fold_overlap=False),
+        "cfg4": dict(speakers_per_session=[3], utterances_per_speaker=[4, 5, 6],
+                     overlap_time_ratio=[0.0, 0.3], silence_probability=0.1,
+                     silence_duration=[0.6, 2.0], allow_3fold_overlap=False),
+        "cfg5": dict(speakers_per_session=[2], utterances_per_speaker=[7, 8],
+                     overlap_time_ratio=[0.0, 0.3], silence_probability=0.1,
+                     silence_duration=[0.6, 2.0], allow_3fold_overlap=False),
+    },
+}
+
+
+def give_timing(
+    utts: List[dict],
+    rnd: random.Random,
+    overlap_time_ratio: float = 0.3,
+    sil_prob: float = 0.2,
+    sil_dur: Sequence[float] = (0.3, 2.0),
+    allow_3fold_overlap: bool = False,
+) -> List[dict]:
+    """Assign start offsets to an ordered utterance list
+    (gen_mixspec_mtg.py:110-174).
+
+    The total overlap budget `total_len · r/(1+r)` is distributed over the
+    overlapping boundaries by stick-breaking (Beta(1,5) sticks); each
+    non-overlap boundary instead inserts a uniform silence. Offsets are
+    clamped so one speaker never overlaps themself and (unless allowed) at
+    most two utterances overlap at a time. Returns new dicts with 'offset'.
+    """
+    utts = [dict(u) for u in utts]
+    total_len = float(sum(u["length_in_seconds"] for u in utts))
+    total_overlap = total_len * overlap_time_ratio / (1.0 + overlap_time_ratio)
+
+    to_overlap = [rnd.random() < (1.0 - sil_prob) for _ in range(len(utts) - 1)]
+    n_overlaps = sum(to_overlap)
+    probs = []
+    rem = 1.0
+    for _ in range(max(n_overlaps - 1, 0)):
+        p = rnd.betavariate(1, 5)
+        probs.append(rem * p)
+        rem *= 1.0 - p
+    probs.append(rem)
+    rnd.shuffle(probs)
+
+    idx = -1
+    boundary = [0.0]
+    for b in to_overlap:
+        if b:
+            idx += 1
+            boundary.append(probs[idx] * total_overlap)
+        else:
+            boundary.append(-rnd.uniform(sil_dur[0], sil_dur[1]))
+
+    speakers = {u["speaker_id"] for u in utts}
+    offset = 0.0
+    last_end = {s: 0.0 for s in speakers}
+    last_end_sorted = sorted(last_end.values(), reverse=True)
+    for u, ot in zip(utts, boundary):
+        spk = u["speaker_id"]
+        if len(last_end_sorted) > 1 and not allow_3fold_overlap:
+            ot = min(ot, offset - last_end[spk], offset - last_end_sorted[1])
+        else:
+            ot = min(ot, offset - last_end[spk])
+        offset -= ot
+        u["offset"] = offset
+        offset += u["length_in_seconds"]
+        last_end[spk] = offset
+        last_end_sorted = sorted(last_end.values(), reverse=True)
+        offset = last_end_sorted[0]
+    return utts
+
+
+def meeting_mixture_specs(
+    data_dir: str,
+    dynamics: Optional[dict] = None,
+    noise_dir: Optional[str] = None,
+    rir_dir: Optional[str] = None,
+    noise_snrs: Sequence[float] = (10.0, 15.0, 20.0),
+    rvb_probability: float = 0.5,
+    seed: int = 7,
+) -> List[dict]:
+    """Group a single-speaker corpus into meeting sessions and time them
+    (gen_mixspec_mtg.py:10-106): shuffled speakers are consumed round-robin
+    into sessions drawn from the dynamics configs; per session, utterances
+    are interleaved so adjacent turns avoid the same speaker, then timed
+    with `give_timing`.
+    """
+    dynamics = dynamics or DEFAULT_MEETING_DYNAMICS
+    rnd = random.Random(seed)
+    wavs = kaldi_io.load_scp(os.path.join(data_dir, "wav.scp"))
+    spk2utt = kaldi_io.load_spk2utt(os.path.join(data_dir, "spk2utt"))
+    noises = kaldi_io.load_scp(os.path.join(noise_dir, "wav.scp")) if noise_dir else {}
+    rirs = kaldi_io.load_scp(os.path.join(rir_dir, "wav.scp")) if rir_dir else {}
+    durations = {u: wavio.wav_info(p)["duration"] for u, p in wavs.items()}
+
+    cfg_names = sorted(dynamics["probabilities"])
+    cfg_weights = [dynamics["probabilities"][c] for c in cfg_names]
+
+    dyn = {}
+    for spk, utts in spk2utt.items():
+        lst = list(utts)
+        rnd.shuffle(lst)
+        dyn[spk] = lst
+
+    specs: List[dict] = []
+    while dyn:
+        speakers = sorted(dyn)
+        rnd.shuffle(speakers)
+        start = 0
+        while start < len(speakers):
+            cfg = dynamics["configurations"][rnd.choices(cfg_names, weights=cfg_weights, k=1)[0]]
+            n_spk = rnd.choice(cfg["speakers_per_session"])
+            cur = speakers[start : start + n_spk]
+            start += n_spk
+
+            rounds: List[List[dict]] = []
+            for spk in cur:
+                if spk not in dyn:
+                    continue
+                n_utts = rnd.choice(cfg["utterances_per_speaker"])
+                pop, rem = dyn[spk][:n_utts], dyn[spk][n_utts:]
+                if rem:
+                    dyn[spk] = rem
+                else:
+                    dyn.pop(spk)
+                for i, utt in enumerate(pop):
+                    while len(rounds) <= i:
+                        rounds.append([])
+                    rounds[i].append(dict(utt=utt, speaker_id=spk, length_in_seconds=durations[utt]))
+            if not rounds:
+                continue
+
+            # interleave rounds, avoiding same-speaker adjacency
+            ordered = list(rounds[0])
+            for grp in rounds[1:]:
+                if not grp:
+                    break
+                if len(grp) == 1:
+                    ordered.append(grp[0])
+                    continue
+                last = ordered[-1]["speaker_id"]
+                grp = list(grp)
+                for _ in range(20):
+                    rnd.shuffle(grp)
+                    if grp[0]["speaker_id"] != last:
+                        break
+                ordered += grp
+
+            r = rnd.uniform(cfg["overlap_time_ratio"][0], cfg["overlap_time_ratio"][1])
+            timed = give_timing(
+                ordered, rnd,
+                overlap_time_ratio=r,
+                sil_prob=cfg["silence_probability"],
+                sil_dur=cfg["silence_duration"],
+                allow_3fold_overlap=cfg["allow_3fold_overlap"],
+            )
+            spec = {
+                "recid": f"meeting_{len(specs) + 1:05d}",
+                "utterances": [
+                    dict(utt=u["utt"], path=wavs[u["utt"]], speaker_id=u["speaker_id"],
+                         offset=u["offset"], length_in_seconds=u["length_in_seconds"])
+                    for u in timed
+                ],
+                "target_overlap_time_ratio": r,
+                "noise": noises[rnd.choice(sorted(noises))] if noises else None,
+                "snr": float(rnd.choice(list(noise_snrs))),
+                "rirs": (
+                    {s: rirs[rnd.choice(sorted(rirs))] for s in {u["speaker_id"] for u in timed}}
+                    if rirs and rnd.random() < rvb_probability else {}
+                ),
+            }
+            specs.append(spec)
+    return specs
+
+
+def make_meeting_mixtures(
+    specs: Sequence[dict],
+    out_data_dir: str,
+    out_wav_dir: str,
+    rate: int = 8000,
+) -> str:
+    """Render meeting specs (mixaudio_mtg.py semantics): each utterance is
+    placed at its offset, per-speaker RIRs applied, sources summed, noise
+    added at the spec SNR. Writes wavs + Kaldi dir + rttm."""
+    os.makedirs(out_wav_dir, exist_ok=True)
+    os.makedirs(out_data_dir, exist_ok=True)
+    wav_scp: Dict[str, str] = {}
+    segments: List[dict] = []
+    utt2spk: Dict[str, str] = {}
+    reco2dur: Dict[str, float] = {}
+    turns: List[Turn] = []
+
+    for spec in specs:
+        recid = spec["recid"]
+        end = max(u["offset"] + u["length_in_seconds"] for u in spec["utterances"])
+        n = int(np.ceil(end * rate)) + 1
+        mixture = np.zeros(n, np.float32)
+        rir_cache = {
+            s: wavio.load_wav_maybe_piped(p)[0] for s, p in spec.get("rirs", {}).items()
+        }
+        for k, u in enumerate(spec["utterances"]):
+            speech, r = wavio.load_wav_maybe_piped(u["path"])
+            assert r == rate, f"sample-rate mismatch: {r} != {rate} for {u['path']}"
+            rir = rir_cache.get(u["speaker_id"])
+            if rir is not None:
+                speech = _reverberate(speech, rir)
+            st = int(round(u["offset"] * rate))
+            mixture[st : st + len(speech)] += speech[: max(0, n - st)]
+            uttid = f"{u['speaker_id']}_{recid}_{k:03d}"
+            segments.append(dict(utt=uttid, rec=recid, st=st / rate, et=(st + len(speech)) / rate))
+            utt2spk[uttid] = u["speaker_id"]
+            turns.append(Turn(recid, st / rate, len(speech) / rate, u["speaker_id"]))
+        if spec.get("noise"):
+            noise, r = wavio.load_wav_maybe_piped(spec["noise"])
+            assert r == rate
+            noise = np.pad(noise, (0, max(0, n - len(noise))), "wrap")[:n]
+            sig_p = np.sum(mixture ** 2) / n
+            noi_p = np.sum(noise ** 2) / n
+            scale = np.sqrt(10 ** (-spec["snr"] / 10) * sig_p / max(noi_p, 1e-12))
+            mixture = mixture + noise * scale
+        peak = np.abs(mixture).max()
+        if peak > 0.99:
+            mixture = mixture * (0.99 / peak)
+        out_path = os.path.join(out_wav_dir, f"{recid}.wav")
+        wavio.write_wav(out_path, mixture, rate)
+        wav_scp[recid] = os.path.abspath(out_path)
+        reco2dur[recid] = n / rate
+
+    kaldi_io.save_data_dir(out_data_dir, wavs=wav_scp, segments=segments, utt2spk=utt2spk, reco2dur=reco2dur)
+    write_rttm(os.path.join(out_data_dir, "rttm"), turns)
+    return out_data_dir
+
+
 class SimuDiarMixer:
     """On-the-fly simulated meeting batches (reference SSND
     `simu_diar_dataset.py:18` SimuDiarMixer): each sample draws speakers,
