@@ -17,3 +17,4 @@ from .whisper_encoder import WhisperEncoder, WhisperEncoderConfig  # noqa: F401
 from .eres2net import ERes2Net  # noqa: F401
 from .speaker_encoders import ECAPA_TDNN, ResNet34, SimAMResNet34, build_speaker_encoder  # noqa: F401
 from .redimnet import ReDimNet  # noqa: F401
+from .dicow import DiCoWEncoder, DiCoWConfig, FDDT  # noqa: F401
