@@ -49,10 +49,28 @@ REDIMNET_SIZES = {
         group_divisor=4,
     ),
     "b3": dict(
-        feat_dim=72, C=16, block_1d_type="conv+att", block_2d_type="basic_resnet",
-        stages_setup=((1, 2, 1, None, 8), (2, 3, 1, None, 8), (3, 4, 1, None, 8),
-                      (2, 5, 1, None, 8), (1, 5, 1, None, 8), (2, 3, 1, None, 8)),
+        feat_dim=72, C=16, block_1d_type="conv+att", block_2d_type="basic_resnet_fwse",
+        stages_setup=((1, 6, 4, None, 32), (2, 6, 2, None, 32), (1, 8, 2, None, 32),
+                      (2, 10, 2, None, 16), (1, 10, 1, None, 16), (2, 8, 1, None, 16)),
         group_divisor=1,
+    ),
+    "b4": dict(
+        feat_dim=72, C=32, block_1d_type="conv+att", block_2d_type="basic_resnet_fwse",
+        stages_setup=((1, 4, 2, None, 48), (2, 4, 2, None, 48), (1, 6, 2, None, 48),
+                      (2, 6, 1, None, 32), (1, 8, 1, None, 24), (2, 4, 1, None, 16)),
+        group_divisor=1,
+    ),
+    "b5": dict(
+        feat_dim=72, C=32, block_1d_type="conv+att", block_2d_type="basic_resnet_fwse",
+        stages_setup=((1, 4, 2, None, 48), (2, 4, 2, None, 48), (1, 6, 2, None, 48),
+                      (2, 6, 1, None, 32), (1, 8, 1, None, 24), (2, 4, 1, None, 16)),
+        group_divisor=16,
+    ),
+    "b6": dict(
+        feat_dim=72, C=32, block_1d_type="conv+att", block_2d_type="basic_resnet",
+        stages_setup=((1, 4, 4, None, 32), (2, 6, 2, None, 32), (1, 6, 2, None, 24),
+                      (3, 8, 1, None, 24), (1, 8, 1, None, 16), (2, 8, 1, None, 16)),
+        group_divisor=32,
     ),
 }
 

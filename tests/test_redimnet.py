@@ -54,6 +54,61 @@ def test_tsvad_redimnet_encoder_forward():
 
 
 @pytest.mark.skipif(not os.path.exists(os.path.join(REF_DIR, "redimnet.py")), reason="reference not mounted")
+def test_param_counts_match_all_sizes():
+    """Cheap wiring check for every factory size: #params must match torch
+    (minus the frozen all-ones inputs_weights[0], 1 element)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    ref = _load_ref_redimnet()
+    from speaker_diarization_tpu.models.redimnet import REDIMNET_SIZES, ReDimNet
+
+    factories = dict(b0=ref.ReDimNetB0, b1=ref.ReDimNetB1, b2=ref.ReDimNetB2,
+                     b3=ref.ReDimNetB3, b4=ref.ReDimNetB4, b5=ref.ReDimNetB5, b6=ref.ReDimNetB6)
+    for size, factory in factories.items():
+        tm = factory()
+        t_count = sum(p.numel() for p in tm.parameters())
+        fm = ReDimNet(size=size)
+        feat = REDIMNET_SIZES[size]["feat_dim"]
+        v = jax.eval_shape(lambda: fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, feat)), False, "embedding"))
+        f_count = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(v["params"]))
+        assert t_count - f_count == 1, (size, t_count, f_count)
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(REF_DIR, "redimnet.py")), reason="reference not mounted")
+def test_tiny_fwse_conv_exp_parity():
+    """fwSE blocks + conv_exp squeeze-back (the B3-B6 paths) on a tiny model."""
+    import jax.numpy as jnp
+    import torch
+
+    ref = _load_ref_redimnet()
+    torch.manual_seed(1)
+    stages = [(1, 1, 2, [(3, 3)], 8), (2, 1, 1, [(3, 3)], 8)]
+    tm = ref.ReDimNet(feat_dim=16, C=8, block_1d_type="att", block_2d_type="basic_resnet_fwse",
+                      stages_setup=stages, group_divisor=1, out_channels=None,
+                      embed_dim=24, pooling_func="ASTP", global_context_att=True)
+    tm.eval()
+
+    from speaker_diarization_tpu.models.redimnet import ReDimNet
+    from speaker_diarization_tpu.utils.torch_convert import redimnet_torch_to_flax
+
+    fm = ReDimNet(size=None, feat_dim=16, C=8, stages_setup=tuple(tuple(s) for s in stages),
+                  block_1d_type="att", block_2d_type="basic_resnet_fwse", group_divisor=1,
+                  embed_dim=24)
+    params, stats = redimnet_torch_to_flax(dict(tm.state_dict()), stages)
+    variables = {"params": params, "batch_stats": stats}
+    x = np.random.default_rng(2).standard_normal((2, 60, 16)).astype(np.float32)
+    with torch.no_grad():
+        t_fr = tm.get_frame_level_feat(torch.from_numpy(x)).numpy()
+        _, t_emb = tm(torch.from_numpy(x))
+    f_fr = np.asarray(fm.apply(variables, jnp.asarray(x), False, "frames"))
+    np.testing.assert_allclose(f_fr, t_fr, atol=2e-4)
+    f_emb = np.asarray(fm.apply(variables, jnp.asarray(x), False, "embedding"))
+    np.testing.assert_allclose(f_emb, t_emb.numpy(), atol=5e-4)
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(REF_DIR, "redimnet.py")), reason="reference not mounted")
 class TestReDimNetParity:
     @pytest.fixture(scope="class", params=["b0", "b2"])
     def pair(self, request):
