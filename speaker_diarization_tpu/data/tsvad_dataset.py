@@ -26,6 +26,7 @@ import numpy as np
 
 from . import kaldi_io
 from .rttm import frames_from_turns, read_rttm_by_rec
+from .wav import load_wav_maybe_piped
 from ..infer.embeddings import EmbeddingStore
 
 
@@ -52,6 +53,9 @@ class TSVADChunkDataset:
         noise_dir: Optional[str] = None,
         rir_dir: Optional[str] = None,
         aug_prob: float = 0.5,
+        enhancer=None,
+        enhance_prob: float = 0.0,
+        enhanced_audio_dir: Optional[str] = None,
         seed: int = 0,
     ):
         self.kd = kaldi_io.KaldiData(data_dir)
@@ -90,6 +94,16 @@ class TSVADChunkDataset:
 
         self._noises = self._load_aug_dir(noise_dir)
         self._rirs = self._load_aug_dir(rir_dir)
+        # speech-enhancement hooks (reference ts_vad_dataset.py:423-492):
+        # online callable applied per chunk, or offline pre-enhanced audio
+        # substituted by rec id (see data/enhance.py)
+        if enhancer is not None:
+            from .enhance import get_enhancer
+
+            enhancer = get_enhancer(enhancer)
+        self.enhancer = enhancer
+        self.enhance_prob = enhance_prob
+        self._enhanced_wavs = self._load_aug_dir(enhanced_audio_dir)
 
     def _load_aug_dir(self, d):
         if d is None:
@@ -161,13 +175,24 @@ class TSVADChunkDataset:
         lr = self.label_rate
         start_sample = int(ch.start_frame / lr * self.rate)
         want = self.chunk_samples
-        audio, rate = self.kd.load_wav(ch.rec, start_sample, start_sample + want)
+        # offline substitution: deterministic at eval, enhance_prob at train
+        use_enhanced = (
+            self._enhanced_wavs is not None
+            and ch.rec in self._enhanced_wavs
+            and (not self.is_train or self.rng.random() < self.enhance_prob)
+        )
+        if use_enhanced:
+            audio, rate = load_wav_maybe_piped(self._enhanced_wavs[ch.rec], start_sample, start_sample + want)
+        else:
+            audio, rate = self.kd.load_wav(ch.rec, start_sample, start_sample + want)
         assert rate == self.rate
         if audio.ndim > 1:
             audio = audio[:, 0]
         if len(audio) < want:
             audio = np.pad(audio, (0, want - len(audio)))
         audio = self._augment(audio)
+        if self.enhancer is not None and (not self.is_train or self.rng.random() < self.enhance_prob):
+            audio = self.enhancer(audio, self.rate)
 
         T = self.chunk_frames
         speakers = list(self.rec_speakers[ch.rec])
