@@ -18,3 +18,4 @@ from .eres2net import ERes2Net  # noqa: F401
 from .speaker_encoders import ECAPA_TDNN, ResNet34, SimAMResNet34, build_speaker_encoder  # noqa: F401
 from .redimnet import ReDimNet  # noqa: F401
 from .dicow import DiCoWEncoder, DiCoWConfig, FDDT  # noqa: F401
+from .tsvad3 import TSVAD3Model, TSVAD3Config  # noqa: F401

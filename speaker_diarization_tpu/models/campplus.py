@@ -235,7 +235,7 @@ class CAMPPlus(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, mode: Literal["frames", "embedding"] = "embedding"):
+    def __call__(self, x, train: bool = False, mode: Literal["frames", "embedding", "both"] = "embedding"):
         h = FCM(dtype=self.dtype, name="head")(x, train)
         h = TDNNLayer(self.init_channels, 5, stride=2, dtype=self.dtype, name="tdnn")(h, train)
         channels = self.init_channels
@@ -261,4 +261,8 @@ class CAMPPlus(nn.Module):
         e = stats_pool(h.astype(jnp.float32))  # (B, 1024)
         e = nn.Dense(self.embedding_size, use_bias=False, dtype=self.dtype, name="dense_linear")(e)
         e = BNReLU(relu=False, affine=False, dtype=self.dtype, name="dense_nonlinear")(e, train)
+        if mode == "both":
+            # utterance embedding + frame features in one pass (the reference
+            # ts_vad3 speaker encoder returns both, ts_vad3/model.py:964-968)
+            return e, h
         return e
