@@ -286,7 +286,10 @@ def cmd_score(args) -> int:
     from ..score import score_der
     from ..score.cder import score_cder
 
-    res = score_der(args.ref, args.sys, collar=args.collar, overlap_limit=args.overlap_limit)
+    res = score_der(
+        args.ref, args.sys, collar=args.collar, overlap_limit=args.overlap_limit,
+        regions=args.regions,
+    )
     # reference md-eval (modified) prints the bare DER/MS/FA/SC line
     print(f"{100*res.der:.2f}/{100*res.miss_rate:.2f}/{100*res.falarm_rate:.2f}/{100*res.confusion_rate:.2f}")
     if args.per_file:
@@ -553,6 +556,10 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--sys", required=True)
     sc.add_argument("-c", "--collar", type=float, default=0.25)
     sc.add_argument("-1", "--overlap-limit", action="store_true")
+    sc.add_argument(
+        "--regions", choices=["all", "single", "overlap"], default="all",
+        help="score all regions, single-speaker only (md-eval -1), or overlap-only (spyder)",
+    )
     sc.add_argument("--per-file", action="store_true")
     sc.add_argument("--cder", action="store_true")
     sc.set_defaults(fn=cmd_score)

@@ -19,3 +19,4 @@ from .speaker_encoders import ECAPA_TDNN, ResNet34, SimAMResNet34, build_speaker
 from .redimnet import ReDimNet  # noqa: F401
 from .dicow import DiCoWEncoder, DiCoWConfig, FDDT  # noqa: F401
 from .tsvad3 import TSVAD3Model, TSVAD3Config  # noqa: F401
+from .vad import NeuralVAD, NeuralVADConfig  # noqa: F401

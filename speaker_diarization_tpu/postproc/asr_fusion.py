@@ -103,3 +103,84 @@ def read_stm(path: str) -> List[StmSegment]:
             rec, ch, spk, st, en, text = parts
             out.append(StmSegment(rec, ch, spk, float(st), float(en), text))
     return out
+
+
+# --- tcpWER prep: text normalization + subtitle parsing --------------------
+
+_PUNCT = '!"#$%&()*+,./:;<=>?@[\\]^_`{|}~。、？！・¿¡，'
+
+
+def normalize_text(text: str) -> str:
+    """Lowercase, strip punctuation (Latin + CJK marks), squeeze spaces —
+    the tcpWER normalization of `fusion/text_normalization.py:5-16`."""
+    import re
+
+    out = re.sub(f"[{re.escape(_PUNCT)}]", "", text.strip().lower())
+    return re.sub(r" +", " ", out).strip()
+
+
+def normalize_text_file(input_path: str, output_path: str) -> None:
+    """Normalize a kaldi-style `<uttid> <text...>` file in place-compatible
+    form (`fusion/text_normalization.py:4-18`)."""
+    with open(input_path, encoding="utf-8") as fin, open(output_path, "w", encoding="utf-8") as fout:
+        for line in fin:
+            parts = line.strip().split()
+            if not parts:
+                continue
+            fout.write(f"{parts[0]} {normalize_text(' '.join(parts[1:]))}\n")
+
+
+def _srt_time_to_seconds(ts: str) -> float:
+    """'00:18:48,533' → 1128.533 (generate_hyp_stm_from_whisperx_output.py:7-13)."""
+    h, m, rest = ts.strip().split(":")
+    s, _, ms = rest.partition(",")
+    return round(int(h) * 3600 + int(m) * 60 + int(s) + (int(ms) if ms else 0) / 1000.0, 4)
+
+
+def parse_srt(text: str) -> List[StmSegment]:
+    """Parse SRT subtitle text with optional `[SPEAKER_XX]:` prefixes into
+    STM segments (rec filled by the caller). Cue text lines without a
+    speaker prefix get speaker 'SPEAKER_empty', matching
+    generate_hyp_stm_from_whisperx_output.py:36-48."""
+    import re
+
+    segs: List[StmSegment] = []
+    blocks = re.split(r"\n\s*\n", text.strip())
+    for block in blocks:
+        lines = [ln for ln in block.strip().splitlines() if ln.strip()]
+        if len(lines) < 2:
+            continue
+        # optional numeric index line
+        ti = 1 if "-->" in lines[1] else 0 if "-->" in lines[0] else None
+        if ti is None:
+            continue
+        start_s, _, end_s = lines[ti].partition("-->")
+        body = " ".join(lines[ti + 1:]).strip()
+        if ":" in body:
+            spk, _, txt = body.partition(":")
+            spk = spk.replace("[", "").replace("]", "").strip()
+        else:
+            spk, txt = "SPEAKER_empty", body
+        segs.append(
+            StmSegment(
+                rec="",
+                channel="1",
+                speaker=spk,
+                start=_srt_time_to_seconds(start_s),
+                end=_srt_time_to_seconds(end_s),
+                text=normalize_text(txt),
+            )
+        )
+    return segs
+
+
+def srt_file_to_stm(srt_path: str, rec: Optional[str] = None) -> List[StmSegment]:
+    """Read one .srt file (whisperx / Kimi-Audio subtitle output) → STM
+    segments; `rec` defaults to the file stem, as in
+    generate_hyp_stm_from_whisperx_output.py:25-29."""
+    import os
+
+    with open(srt_path, encoding="utf-8") as f:
+        segs = parse_srt(f.read())
+    rec = rec if rec is not None else os.path.splitext(os.path.basename(srt_path))[0]
+    return [StmSegment(rec, s.channel, s.speaker, s.start, s.end, s.text) for s in segs]

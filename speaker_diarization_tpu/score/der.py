@@ -201,6 +201,18 @@ def _overlap_regions(ref: Dict[str, List[Interval]]) -> List[Interval]:
     return out
 
 
+def _intersect_intervals(uem: List[Interval], keep: List[Interval]) -> List[Interval]:
+    """Intersect the union-of-intervals `uem` with the union `keep`."""
+    keep = sorted(keep)
+    out: List[Interval] = []
+    for ub, ue in uem:
+        for kb, ke in keep:
+            s, e = max(ub, kb), min(ue, ke)
+            if e > s + _EPS:
+                out.append((s, e))
+    return out
+
+
 def score_file_native(
     ref_turns: Sequence[Turn],
     sys_turns: Sequence[Turn],
@@ -264,9 +276,24 @@ def score_file(
     uem: Optional[List[Interval]] = None,
     overlap_limit: bool = False,
     use_native: bool = True,
+    regions: str = "all",
 ) -> Tuple[DerResult, Dict[str, str]]:
-    """Score one recording. Returns (stats, ref→sys speaker map)."""
-    if use_native:
+    """Score one recording. Returns (stats, ref→sys speaker map).
+
+    `regions` selects which parts of the timeline are scored (spyder-style
+    breakdown, used by the reference for overlap-only DER,
+    egs/alimeeting/run_ts_vad2.sh:249-261):
+      - "all": everything inside the UEM (default; md-eval behavior);
+      - "single": only where ≤1 reference speaker is active (== md-eval -1,
+        equivalent to overlap_limit=True);
+      - "overlap": only where ≥2 reference speakers are active.
+    The ref→sys speaker map is always computed over the full un-collared UEM.
+    """
+    if regions not in ("all", "single", "overlap"):
+        raise ValueError(f"regions must be all|single|overlap, got {regions!r}")
+    if regions == "single":
+        overlap_limit = True
+    if use_native and regions != "overlap":
         native = score_file_native(ref_turns, sys_turns, collar, uem, overlap_limit)
         if native is not None:
             return native
@@ -305,6 +332,8 @@ def score_file(
         score_uem = _subtract_intervals(uem, cuts)
     if overlap_limit:
         score_uem = _subtract_intervals(score_uem, _overlap_regions(ref))
+    elif regions == "overlap":
+        score_uem = _intersect_intervals(score_uem, _overlap_regions(ref))
 
     res = DerResult()
     for dur, r_act, s_act in _elementary_segments(score_uem, ref, sys):
@@ -330,6 +359,7 @@ def score_der(
     collar: float = 0.0,
     uem: Optional[Dict[str, List[Interval]]] = None,
     overlap_limit: bool = False,
+    regions: str = "all",
 ) -> DerResult:
     """Score hypothesis vs reference RTTM (paths or pre-parsed dicts).
 
@@ -343,7 +373,8 @@ def score_der(
     for rec in sorted(ref_by_rec):
         file_uem = uem.get(rec) if uem else None
         r, m = score_file(
-            ref_by_rec[rec], sys_by_rec.get(rec, []), collar, file_uem, overlap_limit
+            ref_by_rec[rec], sys_by_rec.get(rec, []), collar, file_uem, overlap_limit,
+            regions=regions,
         )
         total.scored_speaker_time += r.scored_speaker_time
         total.missed_speaker_time += r.missed_speaker_time

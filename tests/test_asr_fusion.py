@@ -51,3 +51,37 @@ class TestFuseWords:
         write_stm(p, segs)
         back = read_stm(p)
         assert [(s.speaker, s.text) for s in back] == [(s.speaker, s.text) for s in segs]
+
+
+class TestTextNormalizationAndSrt:
+    def test_normalize_text(self):
+        from speaker_diarization_tpu.postproc.asr_fusion import normalize_text
+
+        assert normalize_text("Hello,  World!") == "hello world"
+        assert normalize_text("好的。谢谢、你！") == "好的谢谢你"
+        assert normalize_text("it's A-OK") == "it's a-ok"  # ' and - kept
+
+    def test_normalize_text_file(self, tmp_path):
+        from speaker_diarization_tpu.postproc.asr_fusion import normalize_text_file
+
+        src = tmp_path / "text"
+        src.write_text("utt1 Hello, World!\nutt2 OK.\n")
+        dst = tmp_path / "text.tn"
+        normalize_text_file(str(src), str(dst))
+        assert dst.read_text() == "utt1 hello world\nutt2 ok\n"
+
+    def test_srt_to_stm(self, tmp_path):
+        from speaker_diarization_tpu.postproc.asr_fusion import srt_file_to_stm
+
+        srt = tmp_path / "Rec_01.srt"
+        srt.write_text(
+            "230\n00:18:48,533 --> 00:18:51,417\n[SPEAKER_01]: But I hope so.\n"
+            "\n231\n00:18:51,958 --> 00:18:52,178\nYeah, yeah.\n"
+        )
+        segs = srt_file_to_stm(str(srt))
+        assert segs[0].rec == "Rec_01"
+        assert segs[0].speaker == "SPEAKER_01"
+        assert segs[0].start == 1128.533 and segs[0].end == 1131.417
+        assert segs[0].text == "but i hope so"
+        assert segs[1].speaker == "SPEAKER_empty"
+        assert segs[1].text == "yeah yeah"

@@ -137,3 +137,40 @@ class TestLiveMdEval:
             assert abs(100 * res.miss_rate - ms) < 0.015
             assert abs(100 * res.falarm_rate - fa) < 0.015
             assert abs(100 * res.confusion_rate - sc) < 0.015
+
+
+class TestRegionRestrictedScoring:
+    """spyder-style overlap-only / single-only DER (run_ts_vad2.sh:249-261)."""
+
+    REF = [Turn("r", 0, 10, "A"), Turn("r", 5, 10, "B")]  # overlap in [5,10]
+
+    def test_decomposition(self):
+        # hyp misses the overlap entirely: exactly one speaker active at a
+        # time, correct in both single-speaker regions
+        hyp = [Turn("r", 0, 10, "x"), Turn("r", 10, 5, "y")]
+        allr, _ = score_file(self.REF, hyp, collar=0.0, regions="all")
+        single, _ = score_file(self.REF, hyp, collar=0.0, regions="single")
+        over, _ = score_file(self.REF, hyp, collar=0.0, regions="overlap")
+        # scored speaker time: all = single + overlap
+        assert allr.scored_speaker_time == pytest.approx(
+            single.scored_speaker_time + over.scored_speaker_time
+        )
+        assert over.scored_speaker_time == pytest.approx(10.0)  # 2 spk × 5 s
+        # single regions are matched perfectly; all error lives in overlap
+        assert single.der == pytest.approx(0.0, abs=1e-9)
+        assert over.missed_speaker_time == pytest.approx(5.0)
+        assert over.der == pytest.approx(0.5)
+
+    def test_single_equals_overlap_limit(self):
+        hyp = [Turn("r", 0, 8, "x"), Turn("r", 8, 7, "y")]
+        a, _ = score_file(self.REF, hyp, collar=0.0, overlap_limit=True)
+        b, _ = score_file(self.REF, hyp, collar=0.0, regions="single")
+        assert a.der == pytest.approx(b.der)
+        assert a.scored_speaker_time == pytest.approx(b.scored_speaker_time)
+
+    def test_score_der_regions_plumbing(self, tmp_path):
+        ref_p, hyp_p = str(tmp_path / "r.rttm"), str(tmp_path / "h.rttm")
+        write_rttm(ref_p, self.REF)
+        write_rttm(hyp_p, [Turn("r", 0, 15, "x")])
+        res = score_der(ref_p, hyp_p, collar=0.0, regions="overlap")
+        assert res.der == pytest.approx(0.5)
