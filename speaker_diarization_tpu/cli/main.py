@@ -282,6 +282,94 @@ def cmd_simulate_meetings(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    """VAD → subsegment embeddings → clustering → RTTM: the reference's
+    spectral/umap clustering recipes as one command
+    (egs/alimeeting/run_spectral_cluster.sh stages 2-8)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.kaldi_io import KaldiData
+    from ..data.rttm import read_rttm_by_rec, write_rttm
+    from ..infer.clustering import cluster_recording, energy_vad, oracle_sad
+
+    sad_fn = None
+    ref_by_rec = {}
+    if args.sad == "oracle":
+        rttm_path = args.oracle_rttm or os.path.join(args.data_dir, "rttm")
+        ref_by_rec = read_rttm_by_rec(rttm_path)
+    elif args.sad == "neural":
+        from ..models.vad import NeuralVAD, load_vad_params, neural_sad
+
+        vad_model = NeuralVAD()
+        if not args.vad_ckpt:
+            raise SystemExit("--sad neural requires --vad-ckpt")
+        vad_vars = load_vad_params(args.vad_ckpt, vad_model, rate=args.rate)
+        vad_apply = jax.jit(vad_model.apply)
+        sad_fn = lambda audio, rate: neural_sad(  # noqa: E731
+            audio, rate, vad_model, vad_vars, threshold=args.vad_threshold,
+            min_duration_s=args.min_duration, apply_fn=vad_apply,
+        )
+
+    if args.encoder == "campplus":
+        from ..models import CAMPPlus
+        from ..ops import features as F
+        from ..utils.torch_convert import load_campplus_checkpoint
+
+        camp = CAMPPlus()
+        if args.encoder_ckpt:
+            params, stats = load_campplus_checkpoint(args.encoder_ckpt)
+            variables = {"params": params, "batch_stats": stats}
+        else:
+            variables = camp.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 198, 80), jnp.float32), False, "embedding"
+            )
+            logging.warning("no --encoder-ckpt: using random encoder weights")
+
+        @jax.jit
+        def embed(b):
+            fb = F.kaldi_fbank_jax(jnp.asarray(b), sample_rate=args.rate, mean_norm=True)
+            return camp.apply(variables, fb, False, "embedding")
+
+        embed_fn = lambda b: np.asarray(embed(b))  # noqa: E731
+    elif args.encoder == "spectrum":
+        # dependency-free baseline: L2-normalized mean magnitude spectrum
+        def embed_fn(b):
+            sp = np.abs(np.fft.rfft(b, axis=-1))[:, :512]
+            return sp / (np.linalg.norm(sp, axis=-1, keepdims=True) + 1e-9)
+    else:
+        raise SystemExit(f"unknown encoder {args.encoder}")
+
+    kd = KaldiData(args.data_dir)
+    all_turns = []
+    for rec in sorted(kd.wavs):
+        audio, rate = kd.load_wav(rec)
+        if audio.ndim > 1:
+            audio = audio[:, 0]
+        if args.sad == "oracle":
+            sad = oracle_sad(ref_by_rec.get(rec, []))
+        elif args.sad == "neural":
+            sad = sad_fn(audio.astype(np.float32), rate)
+        else:
+            sad = energy_vad(audio.astype(np.float32), rate)
+        turns = cluster_recording(
+            audio.astype(np.float32), rate, embed_fn, rec, sad=sad,
+            method=args.method, num_spks=args.num_spks, max_num_spks=args.max_num_spks,
+            window_s=args.window, hop_s=args.hop,
+        )
+        all_turns.extend(turns)
+        logging.info("%s: %d turns, %d speakers", rec, len(turns), len({t.speaker for t in turns}))
+    write_rttm(args.out, all_turns)
+    print(args.out)
+    if args.ref:
+        from ..score import score_der
+
+        res = score_der(args.ref, args.out, collar=args.collar)
+        print(res.summary())
+    return 0
+
+
 def cmd_score(args) -> int:
     from ..score import score_der
     from ..score.cder import score_cder
@@ -550,6 +638,26 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--ref", help="reference RTTM for sweep scoring")
     i.add_argument("--avg-last", type=int, default=0, help="average the last K checkpoints")
     i.set_defaults(fn=cmd_infer)
+
+    cl = sub.add_parser("cluster", help="VAD → embeddings → clustering → RTTM")
+    cl.add_argument("--data-dir", required=True, help="kaldi dir with wav.scp")
+    cl.add_argument("--out", required=True, help="output RTTM path")
+    cl.add_argument("--method", choices=["spectral", "umap"], default="spectral")
+    cl.add_argument("--sad", choices=["energy", "oracle", "neural"], default="energy")
+    cl.add_argument("--oracle-rttm", help="RTTM for oracle SAD (default: <data-dir>/rttm)")
+    cl.add_argument("--vad-ckpt", help="neural VAD params (save_vad_params msgpack)")
+    cl.add_argument("--vad-threshold", type=float, default=0.5)
+    cl.add_argument("--min-duration", type=float, default=0.0)
+    cl.add_argument("--encoder", choices=["campplus", "spectrum"], default="campplus")
+    cl.add_argument("--encoder-ckpt", help="pretrained CAM++ torch checkpoint")
+    cl.add_argument("--num-spks", type=int, help="fix the speaker count (else eigengap)")
+    cl.add_argument("--max-num-spks", type=int, default=20)
+    cl.add_argument("--window", type=float, default=1.5)
+    cl.add_argument("--hop", type=float, default=0.75)
+    cl.add_argument("--rate", type=int, default=16000)
+    cl.add_argument("--ref", help="reference RTTM: score the result")
+    cl.add_argument("-c", "--collar", type=float, default=0.25)
+    cl.set_defaults(fn=cmd_cluster)
 
     sc = sub.add_parser("score", help="score hypothesis RTTM (DER + optional CDER)")
     sc.add_argument("--ref", required=True)

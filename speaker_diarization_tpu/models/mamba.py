@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.mamba_scan import selective_scan
+from ..ops.mamba_scan import selective_scan_auto
 
 
 class MambaLayer(nn.Module):
@@ -64,7 +64,7 @@ class MambaLayer(nn.Module):
         A = -jnp.exp(A_log)
         D = self.param("D", nn.initializers.ones, (d_inner,))
 
-        y = selective_scan(
+        y = selective_scan_auto(
             xi.astype(jnp.float32), delta.astype(jnp.float32), A, Bm.astype(jnp.float32), C.astype(jnp.float32), D
         ).astype(self.dtype)
         y = y * nn.silu(z)

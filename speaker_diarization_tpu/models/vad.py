@@ -135,6 +135,23 @@ def get_speech_timestamps(
     return [(b, en) for b, en in merged]
 
 
+def save_vad_params(path: str, variables) -> None:
+    """Serialize VAD variables (flax msgpack) for CLI `cluster --vad-ckpt`."""
+    import flax.serialization
+
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+
+
+def load_vad_params(path: str, model: NeuralVAD, rate: int = 16000):
+    """Load variables saved by save_vad_params."""
+    import flax.serialization
+
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, rate), jnp.float32))
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
 def neural_sad(
     audio: np.ndarray,
     rate: int,

@@ -33,15 +33,23 @@ def run_training(
     valid_every: int = 500,
     save_every: Optional[int] = None,
     metrics_path: Optional[str] = None,
+    early_stop_patience: Optional[int] = None,
+    early_stop_min_delta: float = 0.0,
 ) -> TrainState:
+    """`early_stop_patience`: stop after this many consecutive validations
+    without the valid loss improving by more than `early_stop_min_delta`
+    (DiariZen trainer_single_opt.py:147 early-stop semantics)."""
     save_every = save_every or valid_every
     mf = open(metrics_path, "a") if metrics_path else None
     step = int(np.asarray(state.step))
     epoch = 0
     t0 = time.time()
     window = []
+    best_vloss = float("inf")
+    bad_validations = 0
+    stop = False
     try:
-        while step < num_steps:
+        while step < num_steps and not stop:
             for batch in make_train_iter(epoch):
                 state, aux = trainer.train_step(state, batch)
                 step += 1
@@ -73,6 +81,18 @@ def run_training(
                         mf.flush()
                     if ckpt_manager is not None:
                         ckpt_manager.save(state, metric=vloss)
+                    if vloss < best_vloss - early_stop_min_delta:
+                        best_vloss = vloss
+                        bad_validations = 0
+                    else:
+                        bad_validations += 1
+                        if early_stop_patience is not None and bad_validations >= early_stop_patience:
+                            log.info(
+                                "early stop at step %d: %d validations without improvement",
+                                step, bad_validations,
+                            )
+                            stop = True
+                            break
                 elif ckpt_manager is not None and step % save_every == 0:
                     ckpt_manager.save(state)
                 if step >= num_steps:

@@ -38,9 +38,56 @@ class TrainerConfig:
     end_lr: float = 0.0
     weight_decay: float = 0.0
     grad_clip_norm: Optional[float] = 5.0
+    # AutoClip (DiariZen trainer_single_opt.py:34-40): clip at this percentile
+    # of the rolling grad-norm history instead of a fixed norm. Overrides
+    # grad_clip_norm when set (e.g. 10.0).
+    auto_clip_percentile: Optional[float] = None
+    grad_history_size: int = 1000
+    # skip updates whose gradients are non-finite (DiariZen
+    # trainer_single_opt.py:60-61 skips NaN-loss batches)
+    skip_nonfinite: bool = False
     grad_accum_steps: int = 1
     model_avg_decay: Optional[float] = None  # e.g. 0.999; None disables
     seed: int = 0
+
+
+class AutoClipState(flax.struct.PyTreeNode):
+    history: jnp.ndarray  # (H,) grad norms, filled sequentially then ring
+    count: jnp.ndarray  # total norms recorded
+
+
+def auto_clip_by_percentile(percentile: float, history_size: int = 1000) -> optax.GradientTransformation:
+    """Adaptive gradient clipping: clip at the given percentile of the last
+    `history_size` gradient norms (AutoClip; DiariZen auto_clip_grad_norm_,
+    trainer_single_opt.py:34-40). Pure on-device state — no host sync."""
+
+    def init_fn(params):
+        del params
+        return AutoClipState(
+            history=jnp.zeros((history_size,), jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        gnorm = optax.global_norm(updates).astype(jnp.float32)
+        pos = jnp.mod(state.count, history_size)
+        hist = state.history.at[pos].set(gnorm)
+        n = jnp.minimum(state.count + 1, history_size)
+        # linear-interpolated percentile over the n valid entries
+        # (invalid tail sorts to +inf and is never indexed)
+        masked = jnp.where(jnp.arange(history_size) < n, hist, jnp.inf)
+        srt = jnp.sort(masked)
+        f = percentile / 100.0 * (n - 1).astype(jnp.float32)
+        i0 = jnp.floor(f).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, n - 1)
+        w = f - i0.astype(jnp.float32)
+        clip = srt[i0] * (1.0 - w) + srt[i1] * w
+        scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
+        updates = jax.tree_util.tree_map(lambda g: g * scale.astype(g.dtype), updates)
+        return updates, AutoClipState(history=hist, count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -72,10 +119,15 @@ def build_optimizer(cfg: TrainerConfig) -> tuple[optax.GradientTransformation, C
         raise ValueError(cfg.optimizer)
 
     chain = []
-    if cfg.grad_clip_norm is not None:
+    if cfg.auto_clip_percentile is not None:
+        chain.append(auto_clip_by_percentile(cfg.auto_clip_percentile, cfg.grad_history_size))
+    elif cfg.grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
     chain.append(opt)
     tx = optax.chain(*chain)
+    if cfg.skip_nonfinite:
+        # non-finite grads leave params/opt state untouched (NaN-batch skip)
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10**6)
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, cfg.grad_accum_steps)
     return tx, sched

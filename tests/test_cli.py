@@ -54,3 +54,52 @@ class TestScoreCommand:
         p = build_parser()
         for cmd in ("simulate", "train", "infer", "score", "extract-embeddings"):
             assert cmd in p.format_help()
+
+
+class TestClusterCommand:
+    def _make_data(self, tmp_path):
+        """2-speaker tone meeting: 150 Hz vs 350 Hz bursts."""
+        from speaker_diarization_tpu.data.wav import write_wav
+
+        rate = 16000
+        rng = np.random.default_rng(0)
+        audio = 0.003 * rng.standard_normal(8 * rate).astype(np.float32)
+        regions = [(0.5, 2.0, 150.0, "A"), (2.6, 4.0, 350.0, "B"),
+                   (4.6, 6.0, 150.0, "A"), (6.4, 7.6, 350.0, "B")]
+        turns = []
+        for s, e, f, spk in regions:
+            i0, i1 = int(s * rate), int(e * rate)
+            audio[i0:i1] += (0.3 * np.sin(2 * np.pi * f * np.arange(i1 - i0) / rate)
+                             + 0.1 * rng.standard_normal(i1 - i0)).astype(np.float32)
+            turns.append(Turn("rec1", s, e - s, spk))
+        d = tmp_path / "data"
+        d.mkdir()
+        write_wav(str(d / "rec1.wav"), audio, rate)
+        (d / "wav.scp").write_text(f"rec1 {d / 'rec1.wav'}\n")
+        write_rttm(str(d / "rttm"), turns)
+        return d
+
+    def test_cluster_oracle_sad_spectrum(self, tmp_path, capsys):
+        d = self._make_data(tmp_path)
+        out = tmp_path / "hyp.rttm"
+        rc = main(["cluster", "--data-dir", str(d), "--out", str(out),
+                   "--encoder", "spectrum", "--sad", "oracle", "--num-spks", "2",
+                   "--ref", str(d / "rttm"), "-c", "0.25"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines[0] == str(out)
+        # oracle SAD + separable tones → near-zero DER
+        assert "DER" in lines[1]
+        der = float(lines[1].split("DER ")[1].split("%")[0])
+        assert der < 5.0, lines[1]
+
+    def test_cluster_energy_sad(self, tmp_path, capsys):
+        d = self._make_data(tmp_path)
+        out = tmp_path / "hyp2.rttm"
+        rc = main(["cluster", "--data-dir", str(d), "--out", str(out),
+                   "--encoder", "spectrum", "--sad", "energy", "--num-spks", "2"])
+        assert rc == 0
+        from speaker_diarization_tpu.data.rttm import read_rttm_by_rec
+
+        hyp = read_rttm_by_rec(str(out))
+        assert "rec1" in hyp and len({t.speaker for t in hyp["rec1"]}) == 2
