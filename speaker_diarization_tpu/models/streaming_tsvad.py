@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import features as F
-from .transformer import TransformerEncoderLayer, make_chunk_mask, sinusoidal_position_encoding
+from .transformer import FeedForward, make_chunk_mask, sinusoidal_position_encoding
 
 
 @dataclass(frozen=True)
@@ -64,9 +64,66 @@ class Conv2dSubsampling4(nn.Module):
         return nn.Dense(self.d_model, dtype=self.dtype, name="out")(h)
 
 
+class KVEncoderLayer(nn.Module):
+    """Post-norm encoder layer with explicit Q/K/V projections so streaming
+    decode can cache the *projected* keys/values per layer (the reference's
+    WeNet `att_cache`, ts_vad2_streaming/model.py:368-462) instead of
+    re-projecting the whole cached window every chunk — saves 2·L·D² FLOPs
+    per layer per step."""
+
+    d_model: int
+    n_heads: int
+    d_ff: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        h, dh = self.n_heads, self.d_model // self.n_heads
+        self.q_proj = nn.DenseGeneral((h, dh), dtype=self.dtype, name="query")
+        self.k_proj = nn.DenseGeneral((h, dh), dtype=self.dtype, name="key")
+        self.v_proj = nn.DenseGeneral((h, dh), dtype=self.dtype, name="value")
+        self.out = nn.DenseGeneral(self.d_model, axis=(-2, -1), dtype=self.dtype, name="out")
+        self.ln1 = nn.LayerNorm(dtype=self.dtype)
+        self.ff = FeedForward(self.d_ff, self.dropout, self.dtype)
+        self.ln2 = nn.LayerNorm(dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+
+    def _attend(self, q, k, v, mask, deterministic):
+        # q (B, Tq, H, Dh); k/v (B, Tk, H, Dh); mask (B|1, 1, Tq, Tk) bool
+        dh = q.shape[-1]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dh).astype(q.dtype)
+        if mask is not None:
+            logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        w = self.drop(w, deterministic=deterministic)
+        return self.out(jnp.einsum("bhqk,bkhd->bqhd", w, v))
+
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        attn = self._attend(
+            self.q_proj(x), self.k_proj(x), self.v_proj(x), mask, deterministic
+        )
+        x = self.ln1(x + self.drop(attn, deterministic=deterministic))
+        ff = self.ff(x, deterministic)
+        return self.ln2(x + self.drop(ff, deterministic=deterministic))
+
+    def streaming(self, x_q, k_cache, v_cache, mask):
+        """Decode one chunk against cached keys/values.
+
+        x_q (B, C, D); k_cache/v_cache (B, L, H, Dh); mask (B, 1, C, L+C).
+        Returns (out (B, C, D), k_new (B, C, H, Dh), v_new)."""
+        q = self.q_proj(x_q)
+        k_new, v_new = self.k_proj(x_q), self.v_proj(x_q)
+        k = jnp.concatenate([k_cache, k_new], axis=1)
+        v = jnp.concatenate([v_cache, v_new], axis=1)
+        attn = self._attend(q, k, v, mask, deterministic=True)
+        x = self.ln1(x_q + attn)
+        ff = self.ff(x, True)
+        return self.ln2(x + ff), k_new, v_new
+
+
 class StreamingLayerStack(nn.Module):
     """Transformer stack usable both full-sequence (with chunk mask) and
-    chunk-streaming (per-layer input caches)."""
+    chunk-streaming (per-layer KV caches)."""
 
     d_model: int
     n_layers: int
@@ -78,8 +135,9 @@ class StreamingLayerStack(nn.Module):
 
     def setup(self):
         self.layers = [
-            TransformerEncoderLayer(
-                n_heads=self.n_heads, d_ff=self.d_ff, dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}"
+            KVEncoderLayer(
+                d_model=self.d_model, n_heads=self.n_heads, d_ff=self.d_ff,
+                dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}"
             )
             for i in range(self.n_layers)
         ]
@@ -94,20 +152,27 @@ class StreamingLayerStack(nn.Module):
             x = layer(x, mask, deterministic)
         return x
 
-    def init_cache(self, batch: int, cache_len: int) -> Tuple[jnp.ndarray, ...]:
-        """Per-layer input caches (B, cache_len, D), zeros + a validity count."""
-        caches = tuple(jnp.zeros((batch, cache_len, self.d_model), self.dtype) for _ in self.layers)
-        return caches
+    def init_cache(self, batch: int, cache_len: int) -> Tuple:
+        """Per-layer (k, v) caches (B, cache_len, H, Dh), zeros."""
+        h, dh = self.n_heads, self.d_model // self.n_heads
+        return tuple(
+            (
+                jnp.zeros((batch, cache_len, h, dh), self.dtype),
+                jnp.zeros((batch, cache_len, h, dh), self.dtype),
+            )
+            for _ in self.layers
+        )
 
     def streaming_step(self, x_chunk, caches, pos: int | jnp.ndarray, cache_valid: jnp.ndarray):
-        """One chunk through all layers with input caches.
+        """One chunk through all layers with per-layer KV caches.
 
-        x_chunk: (B, C, D); caches: tuple of (B, L, D); pos: absolute frame
-        offset of the chunk; cache_valid: () int — number of valid cached
-        frames (grows to L). Returns (out_chunk, new_caches).
+        x_chunk: (B, C, D); caches: tuple of ((B, L, H, Dh), (B, L, H, Dh));
+        pos: absolute frame offset of the chunk; cache_valid: () int —
+        number of valid cached frames (grows to L).
+        Returns (out_chunk, new_caches).
         """
         B, C, D = x_chunk.shape
-        L = caches[0].shape[1]
+        L = caches[0][0].shape[1]
         pe = jnp.asarray(self.pe, x_chunk.dtype)
         x = x_chunk + jax.lax.dynamic_slice(pe, (pos, 0), (C, D))[None]
         # attention mask over [cache ‖ chunk]: cache cols valid iff index >=
@@ -117,10 +182,14 @@ class StreamingLayerStack(nn.Module):
         kv_valid = (col >= (L - cache_valid)) | (col >= L)
         mask = jnp.broadcast_to(kv_valid[None, None, None, :], (B, 1, C, L + C))
         new_caches = []
-        for layer, cache in zip(self.layers, caches):
-            kv = jnp.concatenate([cache, x], axis=1)  # (B, L+C, D)
-            out = layer.streaming(x, kv, mask)
-            new_caches.append(kv[:, -L:])
+        for layer, (kc, vc) in zip(self.layers, caches):
+            out, k_new, v_new = layer.streaming(x, kc, vc, mask)
+            new_caches.append(
+                (
+                    jnp.concatenate([kc, k_new], axis=1)[:, -L:],
+                    jnp.concatenate([vc, v_new], axis=1)[:, -L:],
+                )
+            )
             x = out
         return x, tuple(new_caches)
 
