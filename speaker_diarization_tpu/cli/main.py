@@ -41,6 +41,7 @@ class TrainCliConfig:
     n_heads: int = 4
     d_ff: int = 1024
     dropout: float = 0.1
+    encoder_type: str = "transformer"  # eend_eda: transformer | conformer
     bf16: bool = False
     remat: bool = False
     # frontend (EEND family)
@@ -103,7 +104,7 @@ def _build_model(cfg: TrainCliConfig):
 
         return EendEdaModel(
             n_speakers=cfg.n_speakers, max_attractors=cfg.max_attractors,
-            frontend=_frontend_from_cfg(cfg), **common,
+            encoder_type=cfg.encoder_type, frontend=_frontend_from_cfg(cfg), **common,
         )
     if cfg.family == "fs_eend":
         from ..models.fs_eend import FSEENDModel
@@ -184,6 +185,17 @@ def cmd_train(args) -> int:
             "fs_eend": tasks.make_fs_eend_loss,
             "eend_vc": tasks.make_eend_vc_loss,
         }[cfg.family](model)
+        n_chunks = len(train_ds.chunks)
+        if n_chunks == 0:
+            raise SystemExit(
+                f"no training chunks: recordings shorter than chunk_frames={cfg.chunk_frames} "
+                f"subsampled frames? (dir: {args.train_dir})"
+            )
+        if cfg.batch_size > n_chunks:
+            logging.warning(
+                "batch_size %d > %d available chunks; clamping", cfg.batch_size, n_chunks
+            )
+            cfg = dataclasses.replace(cfg, batch_size=n_chunks)
         trainer = Trainer(loss_fn, tcfg, mesh=mesh)
         b0 = next(batch_iterator(train_ds, cfg.batch_size, shuffle=False))
         init_method = model.init_all if cfg.family == "eend_vc" else None
@@ -193,7 +205,10 @@ def cmd_train(args) -> int:
             params = model.init(jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]))
         state = trainer.init_state(params)
         make_train = lambda ep: batch_iterator(train_ds, cfg.batch_size, True, cfg.seed, epoch=ep)  # noqa: E731
-        make_valid = (lambda: batch_iterator(valid_ds, cfg.batch_size, False)) if valid_ds else None
+        # cap the valid batch size at the dataset size — the iterator drops
+        # partial batches, so a small dev set would otherwise yield nothing
+        vbs = min(cfg.batch_size, len(valid_ds.chunks)) if valid_ds else 0
+        make_valid = (lambda: batch_iterator(valid_ds, max(1, vbs), False)) if valid_ds else None
     elif cfg.family == "tsvad":
         from ..data.tsvad_dataset import TSVADChunkDataset, tsvad_batch_iterator
         from ..infer.embeddings import EmbeddingStore

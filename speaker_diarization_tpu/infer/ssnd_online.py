@@ -45,8 +45,10 @@ def ssnd_online_infer(
     e_non: np.ndarray,
     active_threshold: float = 0.3,
     new_speaker_threshold: float = 0.5,
-) -> np.ndarray:
-    """→ (n_blocks · vad_out_len, n_discovered_speakers) activity probs.
+    return_memory: bool = False,
+):
+    """→ (n_blocks · vad_out_len, n_discovered_speakers) activity probs
+    (plus the final SpeakerMemory when return_memory=True).
 
     predict_fn: (audio_block (1, N), aux_embs (1, S, D)) →
     (vad_logits (1, S, T), spk_embs (1, S, D)).
@@ -93,4 +95,48 @@ def ssnd_online_infer(
     for o in outputs:
         total[pos : pos + o.shape[0], : o.shape[1]] = o
         pos += o.shape[0]
+    if return_memory:
+        return total, memory
     return total
+
+
+def ssnd_offline_rescore(
+    predict_fn: Callable[[np.ndarray, np.ndarray], tuple],
+    audio: np.ndarray,
+    block_samples: int,
+    vad_out_len: int,
+    max_speakers: int,
+    e_pse: np.ndarray,
+    e_non: np.ndarray,
+    active_threshold: float = 0.3,
+    new_speaker_threshold: float = 0.5,
+) -> np.ndarray:
+    """Two-pass offline inference (reference ssnd_model.py offline_rescore,
+    :899): pass 1 = online_infer collecting the global speaker-embedding
+    buffer; pass 2 = re-decode every block against the *final* buffer, so
+    early blocks see speakers discovered later and slot identities are
+    globally consistent. → (n_blocks · vad_out_len, n_speakers) probs."""
+    _, memory = ssnd_online_infer(
+        predict_fn, audio, block_samples, vad_out_len, max_speakers,
+        e_pse, e_non, active_threshold, new_speaker_threshold, return_memory=True,
+    )
+    n_spk = len(memory)
+    if n_spk == 0:
+        n_blocks = int(np.ceil(len(audio) / block_samples))
+        return np.zeros((n_blocks * vad_out_len, 1), np.float32)
+
+    S = max_speakers
+    aux = np.tile(e_non[None], (S, 1)).astype(np.float32)
+    known = min(n_spk, S)
+    for i in range(known):
+        aux[i] = memory.embeddings[i]
+
+    n_blocks = int(np.ceil(len(audio) / block_samples))
+    padded = np.pad(audio.astype(np.float32), (0, n_blocks * block_samples - len(audio)))
+    outputs = []
+    for bi in range(n_blocks):
+        block = padded[bi * block_samples : (bi + 1) * block_samples][None]
+        vad, _ = predict_fn(block, aux[None])
+        vad = 1 / (1 + np.exp(-np.asarray(vad)[0]))  # (S, T)
+        outputs.append(vad[:known].T)  # (T, known)
+    return np.concatenate(outputs, axis=0)

@@ -75,20 +75,37 @@ class EendEdaModel(nn.Module):
     n_heads: int = 4
     d_ff: int = 2048
     dropout: float = 0.1
+    # transformer | conformer (reference eend_eda/models.py:495-504
+    # encoder_type selects torchaudio Conformer)
+    encoder_type: str = "transformer"
     frontend: Optional[FrontendConfig] = FrontendConfig()
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.encoder = TransformerEncoder(
-            d_model=self.d_model,
-            n_layers=self.n_layers,
-            n_heads=self.n_heads,
-            d_ff=self.d_ff,
-            dropout=self.dropout,
-            remat=self.remat,
-            dtype=self.dtype,
-        )
+        if self.encoder_type == "conformer":
+            from .conformer import ConformerEncoder
+
+            self.encoder = ConformerEncoder(
+                d_model=self.d_model,
+                n_layers=self.n_layers,
+                n_heads=self.n_heads,
+                d_ff=self.d_ff,
+                dropout=self.dropout,
+                dtype=self.dtype,
+            )
+        elif self.encoder_type == "transformer":
+            self.encoder = TransformerEncoder(
+                d_model=self.d_model,
+                n_layers=self.n_layers,
+                n_heads=self.n_heads,
+                d_ff=self.d_ff,
+                dropout=self.dropout,
+                remat=self.remat,
+                dtype=self.dtype,
+            )
+        else:
+            raise ValueError(f"encoder_type must be transformer|conformer, got {self.encoder_type!r}")
         self.eda = EncoderDecoderAttractor(d_model=self.d_model, dtype=self.dtype)
 
     def embed(self, x, frame_mask=None, deterministic: bool = True):
@@ -99,6 +116,8 @@ class EendEdaModel(nn.Module):
                 fe.n_mels, fe.context_size, fe.subsampling, fe.mean_norm,
             )
         x = x.astype(self.dtype)
+        if self.encoder_type == "conformer":
+            return self.encoder(x, frame_mask=frame_mask, train=not deterministic)
         return self.encoder(x, frame_mask=frame_mask, deterministic=deterministic)
 
     def __call__(self, x, frame_mask=None, order=None, deterministic: bool = True, n_attractors: Optional[int] = None):

@@ -111,4 +111,7 @@ def validate(trainer: Trainer, state: TrainState, batches: Iterator[dict]) -> fl
     for b in batches:
         aux = trainer.eval_step(state.params, b, mutable=state.mutable)
         losses.append(float(aux["loss"]))
-    return float(np.mean(losses)) if losses else float("nan")
+    if not losses:
+        log.warning("validation iterator yielded no batches (dataset smaller than batch size?)")
+        return float("nan")
+    return float(np.mean(losses))

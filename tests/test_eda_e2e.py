@@ -174,3 +174,33 @@ class TestClusteringPipeline:
         labels = density_cluster(X)
         assert labels.shape == (30,)
         assert (labels >= 0).all()
+
+
+class TestEdaConformerEncoder:
+    def test_forward_and_grad(self):
+        """encoder_type='conformer' (reference models.py:495-504)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from speaker_diarization_tpu.models import EendEdaModel
+
+        model = EendEdaModel(n_speakers=2, d_model=32, n_layers=1, n_heads=2,
+                             d_ff=64, dropout=0.0, encoder_type="conformer",
+                             frontend=None)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 30, 23)).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), x)
+        assert "batch_stats" in v  # conformer conv module carries BN stats
+        logits, exist = model.apply(v, x)
+        assert logits.shape == (2, 30, 2) and exist.shape == (2, 3)
+
+        def loss(p):
+            lg, ex = model.apply({"params": p, "batch_stats": v["batch_stats"]}, x)
+            return jnp.mean(lg**2) + jnp.mean(ex**2)
+
+        g = jax.grad(loss)(v["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # the conformer conv path must actually be in the param tree
+        names = str(jax.tree_util.tree_structure(v["params"]))
+        assert "block_0" in names

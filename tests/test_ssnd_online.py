@@ -86,3 +86,38 @@ class TestGradAccum:
             s_acc, _ = tr_acc.train_step(s_acc, h)
         for a, b in zip(jax.tree_util.tree_leaves(s_full.params), jax.tree_util.tree_leaves(s_acc.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestOfflineRescore:
+    def test_early_blocks_see_late_speakers(self):
+        """A speaker discovered in block 2 must be scored in block 1 by the
+        rescore pass (the point of offline_rescore, ssnd_model.py:899)."""
+        from speaker_diarization_tpu.infer.ssnd_online import ssnd_offline_rescore
+
+        e_pse = np.ones(8, np.float32)
+        e_non = np.zeros(8, np.float32)
+        spk_emb = np.arange(8, dtype=np.float32)
+        state = {"block": 0}
+
+        def predict(block, aux):
+            aux = aux[0]
+            vad = np.full((1, 4, 10), -10.0, np.float32)
+            emb = np.zeros((1, 4, 8), np.float32)
+            bi = state["block"]
+            state["block"] += 1
+            for s in range(4):
+                if np.allclose(aux[s], e_pse) and bi == 1:
+                    vad[0, s] = 10.0  # discovered only in online block 1
+                    emb[0, s] = spk_emb
+                elif np.allclose(aux[s], spk_emb):
+                    vad[0, s] = 10.0  # speaker active in EVERY block when queried
+                    emb[0, s] = spk_emb
+            return vad, emb
+
+        audio = np.zeros(3000, np.float32)
+        out = ssnd_offline_rescore(predict, audio, block_samples=1000, vad_out_len=10,
+                                   max_speakers=4, e_pse=e_pse, e_non=e_non)
+        assert out.shape == (30, 1)
+        # online pass would leave block 0 silent; rescore recovers it
+        assert out[:10].mean() > 0.9
+        assert out.min() > 0.9
