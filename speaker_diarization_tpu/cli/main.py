@@ -171,10 +171,14 @@ def cmd_train(args) -> int:
     model = _build_model(cfg)
 
     if cfg.family in ("eend", "eend_eda", "fs_eend", "eend_vc"):
-        from ..data.eend_dataset import EendChunkDataset, batch_iterator
+        from ..data.eend_dataset import ConcatChunkDataset, EendChunkDataset, batch_iterator
 
         fe = _frontend_from_cfg(cfg)
-        train_ds = EendChunkDataset(args.train_dir, cfg.chunk_frames, fe, cfg.n_speakers)
+        # comma-separated dirs = joint multi-corpus training
+        # (reference egs/multi_datasets)
+        train_dirs = args.train_dir.split(",")
+        dss = [EendChunkDataset(d, cfg.chunk_frames, fe, cfg.n_speakers) for d in train_dirs]
+        train_ds = dss[0] if len(dss) == 1 else ConcatChunkDataset(dss)
         valid_ds = EendChunkDataset(args.valid_dir, cfg.chunk_frames, fe, cfg.n_speakers) if args.valid_dir else None
         if cfg.family == "eend_vc" and cfg.all_n_speakers == 0:
             cfg = dataclasses.replace(cfg, all_n_speakers=len(train_ds.all_speakers))
@@ -213,12 +217,22 @@ def cmd_train(args) -> int:
         from ..data.tsvad_dataset import TSVADChunkDataset, tsvad_batch_iterator
         from ..infer.embeddings import EmbeddingStore
 
-        store = EmbeddingStore.load(args.emb_store)
-        train_ds = TSVADChunkDataset(
-            args.train_dir, store, rs_len=cfg.rs_len, segment_shift=cfg.segment_shift,
-            rate=cfg.sample_rate, is_train=True, seed=cfg.seed,
-            noise_dir=args.noise_dir, rir_dir=args.rir_dir,
-        )
+        from ..data.eend_dataset import ConcatChunkDataset
+
+        stores = [EmbeddingStore.load(p) for p in args.emb_store.split(",")]
+        store = stores[0]
+        for extra in stores[1:]:
+            store.data.update(extra.data)
+        train_dirs = args.train_dir.split(",")
+        dss = [
+            TSVADChunkDataset(
+                d, store, rs_len=cfg.rs_len, segment_shift=cfg.segment_shift,
+                rate=cfg.sample_rate, is_train=True, seed=cfg.seed,
+                noise_dir=args.noise_dir, rir_dir=args.rir_dir,
+            )
+            for d in train_dirs
+        ]
+        train_ds = dss[0] if len(dss) == 1 else ConcatChunkDataset(dss)
         valid_ds = (
             TSVADChunkDataset(
                 args.valid_dir, store, rs_len=cfg.rs_len, segment_shift=cfg.rs_len,

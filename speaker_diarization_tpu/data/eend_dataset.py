@@ -134,6 +134,44 @@ class EendChunkDataset:
         )
 
 
+class ConcatChunkDataset:
+    """Concatenation of chunk datasets for joint multi-corpus training
+    (the reference's egs/multi_datasets recipes train one TS-VAD over
+    AliMeeting + RAMC + ... jointly).
+
+    Works with any dataset exposing `chunks`/`__len__`/`__getitem__`
+    (EendChunkDataset, TSVADChunkDataset). When the members carry global
+    speaker tables (`all_speakers`/`spk_ids`, the EEND-VC case), per-member
+    ids are remapped into one merged table."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        if not self.datasets:
+            raise ValueError("no datasets")
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+        self.chunks = [c for d in self.datasets for c in d.chunks]
+        if all(hasattr(d, "all_speakers") for d in self.datasets):
+            self.all_speakers = sorted({s for d in self.datasets for s in d.all_speakers})
+            gid = {s: i for i, s in enumerate(self.all_speakers)}
+            self._remap = [
+                np.array([gid[s] for s in d.all_speakers], np.int32) for d in self.datasets
+            ]
+        else:
+            self._remap = None
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx: int) -> dict:
+        k = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        item = self.datasets[k][idx - int(self._offsets[k])]
+        if self._remap is not None and "spk_ids" in item:
+            item = dict(item)
+            ids = item["spk_ids"]
+            item["spk_ids"] = np.where(ids >= 0, self._remap[k][np.maximum(ids, 0)], ids)
+        return item
+
+
 def batch_iterator(
     dataset: EendChunkDataset,
     batch_size: int,

@@ -96,3 +96,50 @@ class TestKaldiData:
         part, _ = kd.load_wav("rec1", 1000, 2000)
         assert rate == 8000
         np.testing.assert_array_equal(part, full[1000:2000])
+
+
+class TestConcatChunkDataset:
+    """Joint multi-corpus training support (reference egs/multi_datasets)."""
+
+    def _two_corpora(self, tmp_path):
+        from speaker_diarization_tpu.data.simulate import simulate_corpus
+
+        d1 = simulate_corpus(str(tmp_path / "c1"), n_mixtures=2, n_speakers=2,
+                             seed=1, src_speakers=3, utts_per_speaker=4, with_noise=False)
+        d2 = simulate_corpus(str(tmp_path / "c2"), n_mixtures=2, n_speakers=2,
+                             seed=2, src_speakers=3, utts_per_speaker=4, with_noise=False)
+        return d1, d2
+
+    def test_concat_indexing_and_remap(self, tmp_path):
+        import numpy as np
+        from speaker_diarization_tpu.data.eend_dataset import (
+            ConcatChunkDataset, EendChunkDataset,
+        )
+        from speaker_diarization_tpu.models.eend import FrontendConfig
+
+        d1, d2 = self._two_corpora(tmp_path)
+        fe = FrontendConfig()
+        a = EendChunkDataset(d1, 50, fe, 2)
+        b = EendChunkDataset(d2, 50, fe, 2)
+        cat = ConcatChunkDataset([a, b])
+        assert len(cat) == len(a) + len(b)
+        assert len(cat.chunks) == len(cat)
+        # items round-trip; second dataset's items come from b
+        first = cat[0]
+        np.testing.assert_array_equal(first["labels"], a[0]["labels"])
+        last = cat[len(a)]
+        np.testing.assert_array_equal(last["labels"], b[0]["labels"])
+        # merged global speaker table covers both corpora; remapped ids
+        # point into it (padding -1 preserved)
+        assert set(a.all_speakers) | set(b.all_speakers) == set(cat.all_speakers)
+        gid = {s: i for i, s in enumerate(cat.all_speakers)}
+        for k, (ds, item) in enumerate([(a, cat[0]), (b, cat[len(a)])]):
+            for c, sid in enumerate(item["spk_ids"]):
+                if sid >= 0:
+                    local = ds[0]["spk_ids"][c]
+                    assert sid == gid[ds.all_speakers[local]]
+        # batch iterator runs over the concatenation
+        from speaker_diarization_tpu.data.eend_dataset import batch_iterator
+
+        batches = list(batch_iterator(cat, 2, shuffle=True, seed=0))
+        assert len(batches) == len(cat) // 2
