@@ -262,6 +262,12 @@ def cmd_train(args) -> int:
         raise ValueError(cfg.family)
 
     mgr = CheckpointManager(args.exp_dir, max_to_keep=args.max_to_keep)
+    if getattr(args, "resume", False) and mgr.latest_step() is not None:
+        # exact resume: step/params/optimizer/rng restored against the
+        # freshly-built state as the pytree template (reference
+        # load_checkpoint_if_available, train_accelerate_ddp2.py:751-807)
+        state = mgr.restore(template=state)
+        logging.info("resumed from step %d", int(jax.device_get(state.step)))
     state = run_training(
         trainer, state, make_train, cfg.num_steps, make_valid, mgr,
         log_every=cfg.log_every, valid_every=cfg.valid_every,
@@ -648,6 +654,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--noise-dir")
     t.add_argument("--rir-dir")
     t.add_argument("--max-to-keep", type=int, default=5)
+    t.add_argument("--resume", action="store_true", help="resume from the latest checkpoint in --exp-dir")
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="run chunked inference → RTTM")

@@ -22,6 +22,37 @@ from .trainer import Trainer, TrainState
 log = logging.getLogger(__name__)
 
 
+def prefetch_iterator(it: Iterator[dict], depth: int = 2) -> Iterator[dict]:
+    """Run the (host-side) batch iterator in a background thread with a
+    bounded queue, overlapping wav reads / slicing / augmentation with the
+    device step. The reference gets this from torch DataLoader workers
+    (ts_vad_dataset num_workers); here one thread suffices because feature
+    extraction already runs on-device and the host work is IO + numpy."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface exceptions in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def run_training(
     trainer: Trainer,
     state: TrainState,
@@ -50,7 +81,7 @@ def run_training(
     stop = False
     try:
         while step < num_steps and not stop:
-            for batch in make_train_iter(epoch):
+            for batch in prefetch_iterator(make_train_iter(epoch)):
                 state, aux = trainer.train_step(state, batch)
                 step += 1
                 window.append(float(aux["loss"]))

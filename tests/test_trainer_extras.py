@@ -99,3 +99,25 @@ class TestEarlyStop:
         )
         # first validation sets best; 3 more non-improving → stop at step 40
         assert int(np.asarray(state.step)) == 40
+
+
+class TestPrefetchIterator:
+    def test_order_and_exhaustion(self):
+        from speaker_diarization_tpu.train.loop import prefetch_iterator
+
+        out = list(prefetch_iterator(iter(range(17)), depth=3))
+        assert out == list(range(17))
+
+    def test_exception_propagates(self):
+        from speaker_diarization_tpu.train.loop import prefetch_iterator
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = prefetch_iterator(gen(), depth=2)
+        assert next(it) == 1
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="boom"):
+            list(it)
