@@ -152,6 +152,67 @@ def ctc_loss(logits, logit_mask, labels, label_mask, blank_id: int = 0):
     return jnp.mean(per)
 
 
+def ctc_prefix_beam_search(
+    log_probs,
+    beam_size: int = 8,
+    blank_id: int = 0,
+    return_nbest: bool = False,
+):
+    """CTC prefix beam search over (T, V) log-probabilities.
+
+    The host-side analogue of the reference's CTCPrefixScore rescoring
+    (`egs/mlc_slm/dicow/ctc_decoding.py:11-211`): prefixes carry separate
+    blank-ending / non-blank-ending probabilities, merged in log space.
+    Returns the best label sequence (or the n-best list of
+    (labels, logprob) when return_nbest=True)."""
+    import numpy as np
+
+    lp = np.asarray(log_probs, np.float64)
+    T, V = lp.shape
+    NEG = -np.inf
+
+    def logsumexp2(a, b):
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = max(a, b)
+        return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+    # beams: prefix tuple → [p_blank, p_nonblank]
+    beams = {(): [0.0, NEG]}
+    for t in range(T):
+        new: dict = {}
+
+        def add(prefix, pb, pnb):
+            cur = new.setdefault(prefix, [NEG, NEG])
+            cur[0] = logsumexp2(cur[0], pb)
+            cur[1] = logsumexp2(cur[1], pnb)
+
+        for prefix, (pb, pnb) in beams.items():
+            p_tot = logsumexp2(pb, pnb)
+            # extend with blank: prefix unchanged, now blank-ending
+            add(prefix, p_tot + lp[t, blank_id], NEG)
+            # repeat last symbol: only the non-blank mass stays collapsed
+            if prefix:
+                add(prefix, NEG, pnb + lp[t, prefix[-1]])
+            for v in range(V):
+                if v == blank_id:
+                    continue
+                if prefix and v == prefix[-1]:
+                    # new occurrence needs a blank in between
+                    add(prefix + (v,), NEG, pb + lp[t, v])
+                else:
+                    add(prefix + (v,), NEG, p_tot + lp[t, v])
+        beams = dict(
+            sorted(new.items(), key=lambda kv: -logsumexp2(*kv[1]))[:beam_size]
+        )
+    nbest = sorted(
+        ((list(k), logsumexp2(*v)) for k, v in beams.items()), key=lambda kv: -kv[1]
+    )
+    return nbest if return_nbest else nbest[0][0]
+
+
 def ctc_greedy_decode(logits: jnp.ndarray, blank_id: int = 0):
     """Greedy CTC collapse: (T, V) or (B, T, V) → list of label lists."""
     import numpy as np

@@ -102,3 +102,57 @@ class TestDiCoWEncoder:
         for t, s in enumerate(seq):
             logits[t, s] = 10.0
         assert ctc_greedy_decode(jnp.asarray(logits)) == [[1, 2, 3]]
+
+
+class TestCtcPrefixBeamSearch:
+    def _brute_force_best(self, lp, blank=0):
+        """Exact: enumerate all alignment paths, sum per collapsed label seq."""
+        import itertools
+        import numpy as np
+
+        T, V = lp.shape
+        scores = {}
+        for path in itertools.product(range(V), repeat=T):
+            s = sum(lp[t, v] for t, v in enumerate(path))
+            # collapse
+            out, prev = [], -1
+            for v in path:
+                if v != prev and v != blank:
+                    out.append(v)
+                prev = v
+            key = tuple(out)
+            scores[key] = np.logaddexp(scores.get(key, -np.inf), s)
+        return max(scores.items(), key=lambda kv: kv[1])
+
+    def test_matches_bruteforce(self):
+        import numpy as np
+        from speaker_diarization_tpu.models.dicow import ctc_prefix_beam_search
+
+        rng = np.random.default_rng(0)
+        for trial in range(5):
+            T, V = 5, 3
+            lp = np.log(rng.dirichlet(np.ones(V), size=T))
+            best_seq, best_score = self._brute_force_best(lp)
+            got = ctc_prefix_beam_search(lp, beam_size=32)
+            nbest = ctc_prefix_beam_search(lp, beam_size=32, return_nbest=True)
+            assert tuple(got) == best_seq, (trial, got, best_seq)
+            assert abs(nbest[0][1] - best_score) < 1e-9 * abs(best_score)
+
+    def test_beats_greedy_on_blank_split_mass(self):
+        """Classic case: greedy picks the per-frame argmax path (blank),
+        beam search sums the split non-blank mass."""
+        import numpy as np
+        from speaker_diarization_tpu.models.dicow import (
+            ctc_greedy_decode,
+            ctc_prefix_beam_search,
+        )
+        import jax.numpy as jnp
+
+        # two frames: p(blank)=0.4, p(a)=0.35, p(b)=0.25 each frame
+        p = np.array([[0.4, 0.35, 0.25], [0.4, 0.35, 0.25]])
+        lp = np.log(p)
+        greedy = ctc_greedy_decode(jnp.asarray(lp))[0]
+        assert greedy == []  # blank argmax per frame
+        beam = ctc_prefix_beam_search(lp, beam_size=8)
+        # P("a") = 0.35*0.4 + 0.4*0.35 + 0.35*0.35 = 0.4025 > P("") = 0.16
+        assert beam == [1]
