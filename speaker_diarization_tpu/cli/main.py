@@ -122,6 +122,16 @@ def _build_model(cfg: TrainCliConfig):
             n_speakers=cfg.n_speakers, all_n_speakers=cfg.all_n_speakers,
             frontend=_frontend_from_cfg(cfg), **c2,
         )
+    if cfg.family == "vad":
+        from ..models import NeuralVAD, NeuralVADConfig
+
+        return NeuralVAD(
+            cfg=NeuralVADConfig(
+                sample_rate=cfg.sample_rate, frame_size=cfg.frame_size,
+                frame_shift=cfg.frame_shift,
+            ),
+            dtype=dtype,
+        )
     if cfg.family == "tsvad":
         from ..models import TSVADConfig, TSVADModel
 
@@ -138,6 +148,26 @@ def _build_model(cfg: TrainCliConfig):
             dtype=dtype,
         )
     raise ValueError(f"unknown family {cfg.family}")
+
+
+def _fit_batch_to_mesh(cfg, mesh):
+    """Batch must shard evenly over the mesh 'data' axis; round it down, or
+    drop the mesh entirely when the batch is smaller than the axis."""
+    if mesh is None:
+        return cfg, mesh
+    n_data = mesh.shape["data"]
+    if cfg.batch_size < n_data:
+        logging.warning(
+            "batch_size %d < data-parallel size %d; running unsharded",
+            cfg.batch_size, n_data,
+        )
+        return cfg, None
+    if cfg.batch_size % n_data:
+        nb = (cfg.batch_size // n_data) * n_data
+        logging.warning("rounding batch_size %d -> %d (multiple of %d shards)",
+                        cfg.batch_size, nb, n_data)
+        cfg = dataclasses.replace(cfg, batch_size=nb)
+    return cfg, mesh
 
 
 def cmd_train(args) -> int:
@@ -170,9 +200,14 @@ def cmd_train(args) -> int:
     )
     model = _build_model(cfg)
 
-    if cfg.family in ("eend", "eend_eda", "fs_eend", "eend_vc"):
+    if cfg.family in ("eend", "eend_eda", "fs_eend", "eend_vc", "vad"):
         from ..data.eend_dataset import ConcatChunkDataset, EendChunkDataset, batch_iterator
 
+        if cfg.family == "vad" and cfg.subsampling != 1:
+            # VAD labels live at the raw frame rate (one per frame_shift hop)
+            logging.info("vad family: forcing subsampling=1")
+            cfg = dataclasses.replace(cfg, subsampling=1)
+            model = _build_model(cfg)
         fe = _frontend_from_cfg(cfg)
         # comma-separated dirs = joint multi-corpus training
         # (reference egs/multi_datasets)
@@ -188,6 +223,7 @@ def cmd_train(args) -> int:
             "eend_eda": tasks.make_eda_loss,
             "fs_eend": tasks.make_fs_eend_loss,
             "eend_vc": tasks.make_eend_vc_loss,
+            "vad": tasks.make_vad_loss,
         }[cfg.family](model)
         n_chunks = len(train_ds.chunks)
         if n_chunks == 0:
@@ -200,6 +236,7 @@ def cmd_train(args) -> int:
                 "batch_size %d > %d available chunks; clamping", cfg.batch_size, n_chunks
             )
             cfg = dataclasses.replace(cfg, batch_size=n_chunks)
+        cfg, mesh = _fit_batch_to_mesh(cfg, mesh)
         trainer = Trainer(loss_fn, tcfg, mesh=mesh)
         b0 = next(batch_iterator(train_ds, cfg.batch_size, shuffle=False))
         init_method = model.init_all if cfg.family == "eend_vc" else None
@@ -243,6 +280,7 @@ def cmd_train(args) -> int:
         )
         T = int(cfg.rs_len * 25)
         loss_fn = tasks.make_tsvad_loss(model, T)
+        cfg, mesh = _fit_batch_to_mesh(cfg, mesh)
         trainer = Trainer(loss_fn, tcfg, mesh=mesh, has_mutable=True)
         b0 = next(tsvad_batch_iterator(train_ds, cfg.batch_size, shuffle=False))
         variables = model.init(
@@ -335,9 +373,15 @@ def cmd_cluster(args) -> int:
         rttm_path = args.oracle_rttm or os.path.join(args.data_dir, "rttm")
         ref_by_rec = read_rttm_by_rec(rttm_path)
     elif args.sad == "neural":
-        from ..models.vad import NeuralVAD, load_vad_params, neural_sad
+        from ..models.vad import NeuralVAD, NeuralVADConfig, load_vad_params, neural_sad
 
-        vad_model = NeuralVAD()
+        vad_model = NeuralVAD(
+            cfg=NeuralVADConfig(
+                sample_rate=args.rate,
+                frame_size=args.rate * 25 // 1000,
+                frame_shift=args.rate * 10 // 1000,
+            )
+        )
         if not args.vad_ckpt:
             raise SystemExit("--sad neural requires --vad-ckpt")
         vad_vars = load_vad_params(args.vad_ckpt, vad_model, rate=args.rate)
@@ -402,6 +446,24 @@ def cmd_cluster(args) -> int:
 
         res = score_der(args.ref, args.out, collar=args.collar)
         print(res.summary())
+    return 0
+
+
+def cmd_export_vad(args) -> int:
+    """Latest VAD train checkpoint → msgpack usable by `cluster --vad-ckpt`."""
+    import jax
+
+    from ..models import NeuralVAD, NeuralVADConfig
+    from ..models.vad import save_vad_params
+    from ..train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(args.exp_dir)
+    state = mgr.restore(args.step)
+    # template-less Orbax restore yields a plain dict
+    params = state["params"] if isinstance(state, dict) else state.params
+    save_vad_params(args.out, jax.device_get(params))
+    logging.info("exported VAD params from step %s", mgr.latest_step() if args.step is None else args.step)
+    print(args.out)
     return 0
 
 
@@ -643,7 +705,7 @@ def build_parser() -> argparse.ArgumentParser:
     sm.set_defaults(fn=cmd_simulate_meetings)
 
     t = sub.add_parser("train", help="train a diarization model")
-    t.add_argument("--family", choices=["eend", "eend_eda", "fs_eend", "eend_vc", "tsvad"])
+    t.add_argument("--family", choices=["eend", "eend_eda", "fs_eend", "eend_vc", "tsvad", "vad"])
     t.add_argument("--config", help="YAML config (TrainCliConfig fields)")
     t.add_argument("--set", action="append", default=[], help="dotted overrides key=value")
     t.add_argument("--train-dir", required=True)
@@ -694,6 +756,12 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--ref", help="reference RTTM: score the result")
     cl.add_argument("-c", "--collar", type=float, default=0.25)
     cl.set_defaults(fn=cmd_cluster)
+
+    ev = sub.add_parser("export-vad", help="export trained VAD params for `cluster --vad-ckpt`")
+    ev.add_argument("--exp-dir", required=True)
+    ev.add_argument("--step", type=int)
+    ev.add_argument("--out", required=True)
+    ev.set_defaults(fn=cmd_export_vad)
 
     sc = sub.add_parser("score", help="score hypothesis RTTM (DER + optional CDER)")
     sc.add_argument("--ref", required=True)

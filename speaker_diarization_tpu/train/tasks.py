@@ -213,3 +213,25 @@ def make_tsvad_loss(model, n_label_frames: int):
         return loss, ({"frame_der": M.der_from_stats(stats)}, new_mut)
 
     return loss_fn
+
+
+def make_vad_loss(model):
+    """loss_fn for NeuralVAD (system SAD): frame BCE on the union of
+    speaker activities. Labels come from any EEND-style chunk dataset run
+    at subsampling=1 (one label per frame_shift hop)."""
+    import optax
+
+    def loss_fn(params, batch, rng, train):
+        del rng, train  # VAD model has no dropout
+        logits = model.apply(params, batch["audio"])  # (B, T_frames)
+        speech = (batch["labels"].max(axis=-1) > 0).astype(jnp.float32)  # (B, T_lab)
+        T = min(logits.shape[1], speech.shape[1])
+        mask = batch["frame_mask"][:, :T]
+        bce = optax.sigmoid_binary_cross_entropy(logits[:, :T], speech[:, :T])
+        loss = jnp.sum(bce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        acc = jnp.sum(((logits[:, :T] > 0) == (speech[:, :T] > 0.5)) * mask) / jnp.maximum(
+            jnp.sum(mask), 1.0
+        )
+        return loss, {"vad_acc": acc}
+
+    return loss_fn

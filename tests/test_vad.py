@@ -149,3 +149,30 @@ class TestNeuralVAD:
         assert covered > 1.0, segs
         spurious = sum(e - s for s, e in segs) - covered
         assert spurious < 0.8, segs
+
+
+class TestVadCliFamily:
+    def test_train_export_cluster(self, tmp_path):
+        """train --family vad → export-vad → cluster --sad neural."""
+        from speaker_diarization_tpu.cli.main import main
+        from speaker_diarization_tpu.data.simulate import simulate_corpus
+
+        d = simulate_corpus(str(tmp_path / "c"), n_mixtures=2, n_speakers=2,
+                            seed=5, src_speakers=3, utts_per_speaker=4)
+        exp = str(tmp_path / "exp")
+        rc = main(["train", "--family", "vad", "--train-dir", d, "--exp-dir", exp,
+                   "--set", "num_steps=25", "--set", "batch_size=4",
+                   "--set", "chunk_frames=200", "--set", "schedule=const",
+                   "--set", "learning_rate=0.003", "--set", "log_every=25"])
+        assert rc == 0
+        ck = str(tmp_path / "vad.msgpack")
+        assert main(["export-vad", "--exp-dir", exp, "--out", ck]) == 0
+        out = str(tmp_path / "hyp.rttm")
+        rc = main(["cluster", "--data-dir", d, "--out", out, "--encoder", "spectrum",
+                   "--sad", "neural", "--vad-ckpt", ck, "--rate", "8000",
+                   "--num-spks", "2"])
+        assert rc == 0
+        from speaker_diarization_tpu.data.rttm import read_rttm_by_rec
+
+        hyp = read_rttm_by_rec(out)
+        assert hyp, "cluster produced no turns"
