@@ -310,6 +310,7 @@ def cmd_train(args) -> int:
         trainer, state, make_train, cfg.num_steps, make_valid, mgr,
         log_every=cfg.log_every, valid_every=cfg.valid_every,
         metrics_path=os.path.join(args.exp_dir, "metrics.jsonl"),
+        profile_dir=args.profile_dir,
     )
     logging.info("training done at step %d; checkpoints in %s", int(jax.device_get(state.step)), args.exp_dir)
     return 0
@@ -717,6 +718,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--rir-dir")
     t.add_argument("--max-to-keep", type=int, default=5)
     t.add_argument("--resume", action="store_true", help="resume from the latest checkpoint in --exp-dir")
+    t.add_argument("--profile-dir", help="capture a jax.profiler trace of a few steps into this dir")
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="run chunked inference → RTTM")

@@ -14,6 +14,7 @@ import os
 import time
 from typing import Callable, Iterator, Optional
 
+import jax
 import numpy as np
 
 from .checkpoints import CheckpointManager
@@ -66,10 +67,16 @@ def run_training(
     metrics_path: Optional[str] = None,
     early_stop_patience: Optional[int] = None,
     early_stop_min_delta: float = 0.0,
+    profile_dir: Optional[str] = None,
+    profile_start: int = 10,
+    profile_steps: int = 5,
 ) -> TrainState:
     """`early_stop_patience`: stop after this many consecutive validations
     without the valid loss improving by more than `early_stop_min_delta`
-    (DiariZen trainer_single_opt.py:147 early-stop semantics)."""
+    (DiariZen trainer_single_opt.py:147 early-stop semantics).
+
+    `profile_dir`: capture a jax.profiler trace (TensorBoard/Perfetto) of
+    steps [profile_start, profile_start + profile_steps)."""
     save_every = save_every or valid_every
     mf = open(metrics_path, "a") if metrics_path else None
     step = int(np.asarray(state.step))
@@ -82,8 +89,16 @@ def run_training(
     try:
         while step < num_steps and not stop:
             for batch in prefetch_iterator(make_train_iter(epoch)):
+                if profile_dir is not None and step == profile_start:
+                    jax.profiler.start_trace(profile_dir)
                 state, aux = trainer.train_step(state, batch)
                 step += 1
+                if profile_dir is not None and step == profile_start + profile_steps:
+                    jax.block_until_ready(aux)
+                    jax.profiler.stop_trace()
+                    log.info("profiler trace for steps [%d, %d) → %s",
+                             profile_start, step, profile_dir)
+                    profile_dir = None
                 window.append(float(aux["loss"]))
                 if step % log_every == 0:
                     dt = time.time() - t0

@@ -4,7 +4,7 @@ The reference has no systematic profiling (SURVEY.md §5 — TensorBoard only
 via Lightning); here tracing is built in: wrap any region in `trace()` to
 capture a TensorBoard/Perfetto trace, time jitted steps with `StepTimer`
 (device-synchronized), and `profile_fn` one-shots a compiled function.
-The training loop exposes these via `--set profile_dir=...`.
+The training loop exposes these via the train CLI `--profile-dir` flag.
 """
 
 from __future__ import annotations
