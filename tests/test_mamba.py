@@ -127,26 +127,48 @@ class TestPallasSelectiveScan:
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
     def test_fused_gradients_match(self):
-        from speaker_diarization_tpu.kernels import selective_scan_pallas as ssp
+        """Hand-written Pallas backward vs jax.grad of the associative scan
+        — ALL six inputs, multi-chunk path (auto-interpret on CPU)."""
+        from speaker_diarization_tpu.kernels.selective_scan_pallas import selective_scan_fused
         from speaker_diarization_tpu.ops.mamba_scan import selective_scan
 
-        # route the fused forward through interpret mode for CPU testing
-        import functools
-        orig = ssp.selective_scan_pallas
-        ssp_interp = functools.partial(orig, interpret=True)
-        ssp.selective_scan_pallas = ssp_interp
+        args = tuple(map(jnp.asarray, self._rand(T=20, D=64, seed=2)))
+
+        def loss_fused(*a):
+            return jnp.sum(selective_scan_fused(*a) ** 2)
+
+        def loss_ref(*a):
+            return jnp.sum(selective_scan(*a) ** 2)
+
+        g_fused = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+        g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+        for name, gf, gr in zip("x delta A B C D".split(), g_fused, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), atol=3e-4, rtol=3e-4, err_msg=name
+            )
+
+    def test_fused_gradients_multichunk_carry(self):
+        """Backward dh carry across chunk boundaries (T spanning 5 chunks of
+        8 with a padded tail)."""
+        import importlib
+
+        ssp = importlib.import_module(
+            "speaker_diarization_tpu.kernels.selective_scan_pallas"
+        )
+        from speaker_diarization_tpu.ops.mamba_scan import selective_scan
+
+        args = tuple(map(jnp.asarray, self._rand(T=37, D=128, N=8, seed=4)))
+        orig = ssp._pad_args
+        # force tiny chunks so the reverse-grid carry is exercised
+        ssp._pad_args = lambda x, d, b, c, chunk: orig(x, d, b, c, chunk=8)
         try:
-            args = tuple(map(jnp.asarray, self._rand(T=20, D=64, seed=2)))
-
-            def loss_fused(*a):
-                return jnp.sum(ssp.selective_scan_fused(*a) ** 2)
-
-            def loss_ref(*a):
-                return jnp.sum(selective_scan(*a) ** 2)
-
-            g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
-            g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
-            for gf, gr in zip(g_fused, g_ref):
-                np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=3e-4, rtol=3e-4)
+            g_fused = jax.grad(lambda *a: jnp.sum(ssp.selective_scan_fused(*a) ** 2),
+                               argnums=tuple(range(6)))(*args)
         finally:
-            ssp.selective_scan_pallas = orig
+            ssp._pad_args = orig
+        g_ref = jax.grad(lambda *a: jnp.sum(selective_scan(*a) ** 2),
+                         argnums=tuple(range(6)))(*args)
+        for name, gf, gr in zip("x delta A B C D".split(), g_fused, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), atol=3e-4, rtol=3e-4, err_msg=name
+            )
