@@ -472,9 +472,14 @@ def cmd_score(args) -> int:
     from ..score import score_der
     from ..score.cder import score_cder
 
+    uem = None
+    if args.uem:
+        from ..data.rttm import load_uem
+
+        uem = load_uem(args.uem)
     res = score_der(
         args.ref, args.sys, collar=args.collar, overlap_limit=args.overlap_limit,
-        regions=args.regions,
+        regions=args.regions, uem=uem,
     )
     # reference md-eval (modified) prints the bare DER/MS/FA/SC line
     print(f"{100*res.der:.2f}/{100*res.miss_rate:.2f}/{100*res.falarm_rate:.2f}/{100*res.confusion_rate:.2f}")
@@ -770,6 +775,7 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--sys", required=True)
     sc.add_argument("-c", "--collar", type=float, default=0.25)
     sc.add_argument("-1", "--overlap-limit", action="store_true")
+    sc.add_argument("-u", "--uem", help="NIST UEM file restricting the scored regions (md-eval -u)")
     sc.add_argument(
         "--regions", choices=["all", "single", "overlap"], default="all",
         help="score all regions, single-speaker only (md-eval -1), or overlap-only (spyder)",

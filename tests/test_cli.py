@@ -103,3 +103,21 @@ class TestClusterCommand:
 
         hyp = read_rttm_by_rec(str(out))
         assert "rec1" in hyp and len({t.speaker for t in hyp["rec1"]}) == 2
+
+
+class TestScoreUem:
+    def test_uem_restricts_scoring(self, tmp_path, capsys):
+        ref = [Turn("m", 0.0, 10.0, "A")]
+        hyp = [Turn("m", 0.0, 5.0, "A")]  # misses [5,10]
+        write_rttm(tmp_path / "ref.rttm", ref)
+        write_rttm(tmp_path / "hyp.rttm", hyp)
+        uem = tmp_path / "all.uem"
+        uem.write_text("m 1 0.0 5.0\n")  # scored region excludes the miss
+        rc = main(["score", "--ref", str(tmp_path / "ref.rttm"), "--sys", str(tmp_path / "hyp.rttm"),
+                   "-c", "0.0", "-u", str(uem)])
+        assert rc == 0
+        der = float(capsys.readouterr().out.strip().splitlines()[0].split("/")[0])
+        assert der == 0.0
+        rc = main(["score", "--ref", str(tmp_path / "ref.rttm"), "--sys", str(tmp_path / "hyp.rttm"), "-c", "0.0"])
+        der_full = float(capsys.readouterr().out.strip().splitlines()[0].split("/")[0])
+        assert der_full == 50.0
