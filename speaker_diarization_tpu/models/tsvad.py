@@ -44,7 +44,8 @@ class TSVADConfig:
     label_rate: int = 25
     feat_dim: int = 80  # fbank bins fed to CAM++
     encoder_block_layers: tuple = (12, 24, 16)  # CAM++ depth; shrink for tests
-    single_backend_type: str = "transformer"  # transformer | mamba | mamba_add
+    single_backend_type: str = "transformer"  # transformer | conformer | mamba | mamba_add | mamba2 | mamba2_add
+    # multi backend additionally accepts 'lstm' (reference lstm_ots_vad)
     multi_backend_type: str = "transformer"
     d_state: int = 64  # mamba state size (reference mamba2 cfg)
     expand: int = 2
@@ -76,6 +77,47 @@ class BackendTransformer(nn.Module):
                 n_heads=self.n_heads, d_ff=self.d_ff, dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}"
             )(x, None, deterministic)
         return x
+
+
+class BackendConformer(nn.Module):
+    """Conformer backend (reference 'conformer_ots_vad' option)."""
+
+    d_model: int
+    n_layers: int
+    n_heads: int
+    d_ff: int
+    dropout: float
+    conv_kernel: int = 31
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from .conformer import ConformerEncoder
+
+        return ConformerEncoder(
+            d_model=self.d_model,
+            n_layers=self.n_layers,
+            n_heads=self.n_heads,
+            d_ff=self.d_ff,
+            conv_kernel=self.conv_kernel,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="conformer",
+        )(x, train=not deterministic)
+
+
+class BackendBiLSTM(nn.Module):
+    """BiLSTM backend projected back to d_model (reference 'lstm_ots_vad')."""
+
+    d_model: int
+    hidden: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype), name="lstm_fwd")(x)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype), reverse=True, keep_order=True, name="lstm_bwd")(x)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="proj")(jnp.concatenate([fwd, bwd], axis=-1))
 
 
 class ConvBnRelu(nn.Module):
@@ -215,6 +257,31 @@ class TSVADModel(nn.Module):
                 merge="add" if kind == "mamba_add" else "concat",
                 dtype=self.dtype,
             )
+        if kind in ("mamba2", "mamba2_add"):
+            from .mamba import BiMamba2Block
+
+            return BiMamba2Block(
+                d_model=c.transformer_embed_dim,
+                n_layer=c.num_transformer_layer,
+                d_state=c.d_state,
+                expand=c.expand,
+                merge="add" if kind == "mamba2_add" else "concat",
+                dtype=self.dtype,
+            )
+        if kind == "conformer":
+            # reference 'conformer_ots_vad' backend (model.py:258-267):
+            # torchaudio Conformer, depthwise kernel 31
+            return BackendConformer(
+                d_model=c.transformer_embed_dim,
+                n_layers=c.num_transformer_layer,
+                n_heads=c.num_attention_head,
+                d_ff=c.transformer_ffn_embed_dim,
+                dropout=c.dropout,
+                dtype=self.dtype,
+            )
+        if kind == "lstm":
+            # reference 'lstm_ots_vad' multi backend (model.py:357-364)
+            return BackendBiLSTM(d_model=c.transformer_embed_dim, dtype=self.dtype)
         raise ValueError(f"unknown backend type: {kind}")
 
     def encode_speech(self, audio_or_fbank, n_label_frames: int, train: bool = False, freeze_encoder: bool = False):
