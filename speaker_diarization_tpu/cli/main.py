@@ -55,6 +55,17 @@ class TrainCliConfig:
     # tsvad
     rs_len: float = 4.0
     segment_shift: float = 2.0
+    speech_encoder_type: str = "campplus"
+    single_backend_type: str = "transformer"  # transformer|conformer|mamba|mamba_add|mamba2|mamba2_add
+    multi_backend_type: str = "transformer"  # + lstm
+    d_state: int = 64
+    expand: int = 2
+    # ssnd (on-the-fly simulated mixtures, reference simu_diar_dataset.py)
+    ssnd_overlap_prob: float = 0.3
+    ssnd_sil_scale: float = 1.0
+    # trunk depth override for CAM++/ResNet-style frame extractors
+    # ("12,24,16" = reference CAM++; smaller for smoke tests)
+    encoder_blocks: str = ""
     # eend_vc
     all_n_speakers: int = 0
     # optimization
@@ -85,6 +96,13 @@ def _frontend_from_cfg(cfg: TrainCliConfig):
         context_size=cfg.context_size,
         subsampling=cfg.subsampling,
     )
+
+
+
+def _blocks_override(cfg: TrainCliConfig, default: tuple) -> tuple:
+    if not cfg.encoder_blocks:
+        return default
+    return tuple(int(x) for x in cfg.encoder_blocks.split(","))
 
 
 def _build_model(cfg: TrainCliConfig):
@@ -143,8 +161,55 @@ def _build_model(cfg: TrainCliConfig):
                 transformer_ffn_embed_dim=cfg.d_ff,
                 dropout=cfg.dropout,
                 sample_rate=cfg.sample_rate,
+                speech_encoder_type=cfg.speech_encoder_type,
+                single_backend_type=cfg.single_backend_type,
+                multi_backend_type=cfg.multi_backend_type,
+                d_state=cfg.d_state,
+                expand=cfg.expand,
+                encoder_block_layers=_blocks_override(cfg, (12, 24, 16)),
             ),
             remat_encoder=cfg.remat,
+            dtype=dtype,
+        )
+    if cfg.family == "ssnd":
+        from ..models.ssnd import SSNDConfig, SSNDModel
+
+        return SSNDModel(
+            cfg=SSNDConfig(
+                n_all_speakers=cfg.all_n_speakers,
+                max_speakers=cfg.n_speakers if cfg.n_speakers > 2 else 4,
+                vad_out_len=int(cfg.rs_len * 25),
+                sample_rate=cfg.sample_rate,
+                extractor_blocks=_blocks_override(cfg, (12, 24, 16)),
+            ),
+            dtype=dtype,
+        )
+    if cfg.family == "eend_m2f":
+        from ..models.eend_m2f import EENDM2FModel, M2FConfig
+
+        return EENDM2FModel(
+            cfg=M2FConfig(
+                num_queries=max(cfg.n_speakers * 2, 8), d_model=cfg.d_model,
+                n_heads=cfg.n_heads, d_ff=cfg.d_ff, enc_layers=cfg.n_layers,
+                dec_layers=max(cfg.n_layers // 2, 1), dropout=cfg.dropout,
+            ),
+            frontend=_frontend_from_cfg(cfg),
+            dtype=dtype,
+        )
+    if cfg.family == "sond":
+        from ..models.sond import SONDConfig, SONDModel
+
+        return SONDModel(
+            cfg=SONDConfig(
+                max_speakers=cfg.n_speakers if cfg.n_speakers > 2 else 4,
+                max_set_size=min(cfg.n_speakers if cfg.n_speakers > 2 else 4, 4),
+                feat_dim=cfg.n_mels,
+                spk_emb_dim=192,
+                d_model=cfg.d_model,
+                n_heads=cfg.n_heads,
+                dropout=cfg.dropout,
+                encoder_blocks=_blocks_override(cfg, (3, 4, 6, 3)),
+            ),
             dtype=dtype,
         )
     raise ValueError(f"unknown family {cfg.family}")
@@ -200,7 +265,7 @@ def cmd_train(args) -> int:
     )
     model = _build_model(cfg)
 
-    if cfg.family in ("eend", "eend_eda", "fs_eend", "eend_vc", "vad"):
+    if cfg.family in ("eend", "eend_eda", "fs_eend", "eend_vc", "vad", "eend_m2f"):
         from ..data.eend_dataset import ConcatChunkDataset, EendChunkDataset, batch_iterator
 
         if cfg.family == "vad" and cfg.subsampling != 1:
@@ -224,6 +289,7 @@ def cmd_train(args) -> int:
             "fs_eend": tasks.make_fs_eend_loss,
             "eend_vc": tasks.make_eend_vc_loss,
             "vad": tasks.make_vad_loss,
+            "eend_m2f": tasks.make_m2f_loss,
         }[cfg.family](model)
         n_chunks = len(train_ds.chunks)
         if n_chunks == 0:
@@ -293,6 +359,72 @@ def cmd_train(args) -> int:
             variables["params"]["speech_encoder"] = enc_p
             variables["batch_stats"]["speech_encoder"] = enc_s
             logging.info("loaded pretrained speech encoder from %s", args.encoder_ckpt)
+        state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
+        make_train = lambda ep: tsvad_batch_iterator(train_ds, cfg.batch_size, True, cfg.seed, epoch=ep)  # noqa: E731
+        make_valid = (lambda: tsvad_batch_iterator(valid_ds, cfg.batch_size, False)) if valid_ds else None
+    elif cfg.family == "ssnd":
+        # on-the-fly simulated meetings from a single-speaker kaldi dir
+        # (reference egs/alimeeting/ssnd/simu_diar_dataset.py + train_accelerate_ddp.py)
+        from ..data.simulate import SimuDiarMixer
+
+        mixer = SimuDiarMixer(
+            args.train_dir, noise_dir=args.noise_dir, duration=cfg.rs_len,
+            rate=cfg.sample_rate, max_speakers=cfg.n_speakers if cfg.n_speakers > 2 else 4,
+            sil_scale=cfg.ssnd_sil_scale, overlap_prob=cfg.ssnd_overlap_prob, seed=cfg.seed,
+        )
+        if cfg.all_n_speakers == 0:
+            cfg = dataclasses.replace(cfg, all_n_speakers=mixer.n_all_speakers)
+            model = _build_model(cfg)
+
+        def _ssnd_batches(bs):
+            for b in mixer.batches(bs):
+                # mixer labels are (B, T, S); the SSND loss wants (B, S, T)
+                yield dict(
+                    audio=b["audio"],
+                    labels=b["labels"].transpose(0, 2, 1),
+                    spk_gids=b["spk_gids"],
+                )
+
+        loss_fn = tasks.make_ssnd_loss(model)
+        cfg, mesh = _fit_batch_to_mesh(cfg, mesh)
+        trainer = Trainer(loss_fn, tcfg, mesh=mesh, has_mutable=True)
+        b0 = next(_ssnd_batches(cfg.batch_size))
+        aux0 = jnp.zeros((cfg.batch_size, b0["labels"].shape[1], model.cfg.emb_dim), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]), aux0)
+        state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
+        make_train = lambda ep: _ssnd_batches(cfg.batch_size)  # noqa: E731
+        make_valid = None
+    elif cfg.family == "sond":
+        # powerset SOND over TS-VAD-style chunks: profile inventory = the
+        # target-speaker embedding store (reference sond/ trains from
+        # clustering-produced profiles)
+        from ..data.eend_dataset import ConcatChunkDataset
+        from ..data.tsvad_dataset import TSVADChunkDataset, tsvad_batch_iterator
+        from ..infer.embeddings import EmbeddingStore
+
+        store = EmbeddingStore.load(args.emb_store)
+        dss = [
+            TSVADChunkDataset(
+                d, store, rs_len=cfg.rs_len, segment_shift=cfg.segment_shift,
+                rate=cfg.sample_rate, is_train=True, seed=cfg.seed,
+                noise_dir=args.noise_dir, rir_dir=args.rir_dir,
+            )
+            for d in args.train_dir.split(",")
+        ]
+        train_ds = dss[0] if len(dss) == 1 else ConcatChunkDataset(dss)
+        valid_ds = (
+            TSVADChunkDataset(args.valid_dir, store, rs_len=cfg.rs_len,
+                              segment_shift=cfg.rs_len, rate=cfg.sample_rate, is_train=False)
+            if args.valid_dir else None
+        )
+        loss_fn = tasks.make_sond_loss_from_audio(model, sample_rate=cfg.sample_rate)
+        cfg, mesh = _fit_batch_to_mesh(cfg, mesh)
+        trainer = Trainer(loss_fn, tcfg, mesh=mesh, has_mutable=True)
+        b0 = next(tsvad_batch_iterator(train_ds, cfg.batch_size, shuffle=False))
+        from ..ops.features import kaldi_fbank_auto
+
+        fb0 = kaldi_fbank_auto(jnp.asarray(b0["audio"]), num_mel_bins=model.cfg.feat_dim, sample_rate=cfg.sample_rate)
+        variables = model.init(jax.random.PRNGKey(cfg.seed), fb0, jnp.asarray(b0["target_embs"]))
         state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
         make_train = lambda ep: tsvad_batch_iterator(train_ds, cfg.batch_size, True, cfg.seed, epoch=ep)  # noqa: E731
         make_valid = (lambda: tsvad_batch_iterator(valid_ds, cfg.batch_size, False)) if valid_ds else None
@@ -711,7 +843,10 @@ def build_parser() -> argparse.ArgumentParser:
     sm.set_defaults(fn=cmd_simulate_meetings)
 
     t = sub.add_parser("train", help="train a diarization model")
-    t.add_argument("--family", choices=["eend", "eend_eda", "fs_eend", "eend_vc", "tsvad", "vad"])
+    t.add_argument(
+        "--family",
+        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "vad", "ssnd", "sond"],
+    )
     t.add_argument("--config", help="YAML config (TrainCliConfig fields)")
     t.add_argument("--set", action="append", default=[], help="dotted overrides key=value")
     t.add_argument("--train-dir", required=True)

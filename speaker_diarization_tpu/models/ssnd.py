@@ -155,6 +155,14 @@ class SSNDModel(nn.Module):
         return vad, emb
 
     # ------------------------------------------------------------------
+    def lookup_speaker_embs(self, gids: jnp.ndarray) -> jnp.ndarray:
+        """Slot queries from global speaker ids: E_all[gid], with the
+        pseudo-speaker embedding for unknown slots (gid < 0) — the reference's
+        train-time query construction (ssnd_model.py:579-587)."""
+        safe = jnp.maximum(gids, 0)
+        embs = self.E_all[safe]  # (..., emb_dim)
+        return jnp.where((gids < 0)[..., None], self.e_pse[0], embs)
+
     def arcface_logits(self, emb: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
         """Scaled cos(θ+m) logits vs E_all (reference compute_arcface_loss)."""
         c = self.cfg

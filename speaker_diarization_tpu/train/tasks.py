@@ -150,14 +150,20 @@ def make_ssnd_loss(model, arcface_weight: float = 0.01, bce_alpha: float = 0.75,
 
     def loss_fn(params, mutable, batch, rng, train):
         variables = {"params": params, **mutable}
+        if "aux_embs" in batch:
+            aux = batch["aux_embs"]
+        else:
+            # E_all lookup by global id, pseudo-speaker for unknown slots
+            # (reference ssnd_model.py:579-587)
+            aux = model.apply(variables, batch["spk_gids"], method=model.lookup_speaker_embs)
         if train:
             (vad, emb), new_mut = model.apply(
-                variables, batch["audio"], batch["aux_embs"], True,
+                variables, batch["audio"], aux, True,
                 rngs={"dropout": rng}, mutable=["batch_stats"],
             )
             new_mut = dict(new_mut)
         else:
-            vad, emb = model.apply(variables, batch["audio"], batch["aux_embs"], False)
+            vad, emb = model.apply(variables, batch["audio"], aux, False)
             new_mut = mutable
         # focal BCE over (B, S, T)
         labels = batch["labels"]
@@ -233,5 +239,47 @@ def make_vad_loss(model):
             jnp.sum(mask), 1.0
         )
         return loss, {"vad_acc": acc}
+
+    return loss_fn
+
+
+def make_m2f_loss(model):
+    """loss_fn for EENDM2FModel over EEND chunk batches: Hungarian-matched
+    set criterion (reference eend_m2f/criterion.py:176). Batch labels are
+    (B, T, S) per-frame; the criterion wants per-query targets (B, S, T)."""
+    from ..models.eend_m2f import m2f_criterion
+
+    def loss_fn(params, batch, rng, train):
+        out = model.apply(
+            params, batch["audio"], train=train,
+            rngs={"dropout": rng} if train else None,
+        )
+        labels = jnp.transpose(batch["labels"], (0, 2, 1))  # (B, S, T)
+        loss, aux = m2f_criterion(out, labels, model.cfg, frame_mask=batch.get("frame_mask"))
+        return loss, aux
+
+    return loss_fn
+
+
+def make_sond_loss_from_audio(model, frame_size: int = 400, frame_shift: int = 160, sample_rate: int = 16000):
+    """loss_fn (has_mutable) for SONDModel over TS-VAD chunk batches.
+
+    Computes the 100 Hz kaldi fbank from raw audio on device, uses the
+    target-speaker embeddings as the profile inventory, and subsamples the
+    25 Hz labels to the model's 12.5 Hz output rate (ResNet34 ×8 downsample,
+    reference sond/resnet34_encoder.py)."""
+    from ..models.sond import make_sond_loss
+    from ..ops.features import kaldi_fbank_auto
+
+    base = make_sond_loss(model)
+
+    def loss_fn(params, mutable, batch, rng, train):
+        fbank = kaldi_fbank_auto(
+            batch["audio"], num_mel_bins=model.cfg.feat_dim, sample_rate=sample_rate
+        )
+        t_out = fbank.shape[1] // 8
+        labels = batch["labels"][:, ::2][:, :t_out]  # 25 Hz → 12.5 Hz
+        b2 = dict(fbank=fbank, spk_embs=batch["target_embs"], labels=labels)
+        return base(params, mutable, b2, rng, train)
 
     return loss_fn

@@ -1,0 +1,102 @@
+"""CLI training for the ssnd / eend_m2f / sond families (tiny smoke runs).
+
+Reference trains these via separate harnesses (ssnd/train_accelerate_ddp.py,
+eend_m2f/train.py, sond recipes); here all go through the one pjit trainer
+behind `train --family ...`.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from speaker_diarization_tpu.cli.main import main
+from speaker_diarization_tpu.data.simulate import simulate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_fam")
+    data_dir = simulate_corpus(
+        str(root / "corpus"), n_mixtures=4, n_speakers=2, rate=8000, seed=0,
+        src_speakers=4, utts_per_speaker=3, with_noise=False,
+    )
+    return root, data_dir
+
+
+def _losses(exp_dir):
+    path = os.path.join(exp_dir, "metrics.jsonl")
+    out = []
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("split", "train") == "train" and "loss" in rec:
+                out.append(rec["loss"])
+    return out
+
+
+def test_train_eend_m2f_cli(corpus, tmp_path):
+    root, data_dir = corpus
+    exp = tmp_path / "m2f"
+    rc = main([
+        "train", "--family", "eend_m2f", "--train-dir", data_dir,
+        "--exp-dir", str(exp),
+        "--set", "d_model=32", "--set", "d_ff=64", "--set", "n_layers=1",
+        "--set", "n_heads=2", "--set", "chunk_frames=50", "--set", "batch_size=2",
+        "--set", "num_steps=4", "--set", "schedule=const", "--set", "learning_rate=1e-4",
+        "--set", "log_every=1", "--set", "valid_every=100",
+    ])
+    assert rc == 0
+    losses = _losses(str(exp))
+    assert losses and np.isfinite(losses).all()
+
+
+def test_train_ssnd_cli(corpus, tmp_path):
+    root, data_dir = corpus
+    src_dir = os.path.join(os.path.dirname(data_dir.rstrip("/")), "src")
+    if not os.path.isdir(src_dir):
+        src_dir = str(root / "corpus" / "src")
+    exp = tmp_path / "ssnd"
+    rc = main([
+        "train", "--family", "ssnd", "--train-dir", src_dir,
+        "--exp-dir", str(exp),
+        "--set", "sample_rate=8000", "--set", "rs_len=2.0",
+        "--set", "encoder_blocks=2,2", "--set", "batch_size=2",
+        "--set", "num_steps=3", "--set", "schedule=const", "--set", "learning_rate=1e-4",
+        "--set", "log_every=1", "--set", "valid_every=100",
+    ])
+    assert rc == 0
+    losses = _losses(str(exp))
+    assert losses and np.isfinite(losses).all()
+
+
+def test_train_sond_cli(corpus, tmp_path):
+    root, data_dir = corpus
+    # random profile inventory: rec/spk keyed store (SOND consumes profiles,
+    # not waveform enrollment)
+    from speaker_diarization_tpu.data.kaldi_io import KaldiData
+    from speaker_diarization_tpu.data.rttm import read_rttm_by_rec
+    from speaker_diarization_tpu.infer.embeddings import EmbeddingStore
+
+    rng = np.random.default_rng(0)
+    store = EmbeddingStore()
+    turns = read_rttm_by_rec(os.path.join(data_dir, "rttm"))
+    for rec, ts in turns.items():
+        for spk in sorted({t.speaker for t in ts}):
+            store.put(rec, spk, rng.standard_normal((3, 192)).astype(np.float32))
+    store_path = str(tmp_path / "store.npz")
+    store.save(store_path)
+
+    exp = tmp_path / "sond"
+    rc = main([
+        "train", "--family", "sond", "--train-dir", data_dir,
+        "--exp-dir", str(exp), "--emb-store", store_path,
+        "--set", "sample_rate=8000", "--set", "rs_len=2.0", "--set", "n_mels=24",
+        "--set", "encoder_blocks=1,1,1,1", "--set", "d_model=32", "--set", "n_heads=2",
+        "--set", "batch_size=2", "--set", "num_steps=3", "--set", "schedule=const",
+        "--set", "learning_rate=1e-4", "--set", "log_every=1", "--set", "valid_every=100",
+    ])
+    assert rc == 0
+    losses = _losses(str(exp))
+    assert losses and np.isfinite(losses).all()
