@@ -624,6 +624,17 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_prepare_targets(args) -> int:
+    from ..data.prep import prepare_targets_from_rttm
+
+    out = prepare_targets_from_rttm(
+        args.rttm, args.data_dir, args.out,
+        label_rate=args.label_rate, min_target_s=args.min_target_s,
+    )
+    print(out)
+    return 0
+
+
 def cmd_extract_embeddings(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -918,6 +929,18 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--per-file", action="store_true")
     sc.add_argument("--cder", action="store_true")
     sc.set_defaults(fn=cmd_score)
+
+    pt = sub.add_parser(
+        "prepare-targets",
+        help="system/oracle RTTM → overlap-free per-speaker target audio for TS-VAD",
+    )
+    pt.add_argument("--rttm", required=True, help="system (clustering) or oracle RTTM")
+    pt.add_argument("--data-dir", required=True, help="Kaldi dir of the mixture wavs")
+    pt.add_argument("--out", required=True)
+    pt.add_argument("--label-rate", type=int, default=25)
+    pt.add_argument("--min-target-s", type=float, default=0.0,
+                    help="drop speakers with less clean speech than this")
+    pt.set_defaults(fn=cmd_prepare_targets)
 
     e = sub.add_parser("extract-embeddings", help="dump target-speaker embeddings to npz")
     e.add_argument("--data-dir", required=True, help="Kaldi dir of per-speaker target wavs")

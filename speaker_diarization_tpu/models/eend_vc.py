@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import features as F
+from ..ops.losses import l2_normalize
 from .eend import FrontendConfig
 from .transformer import TransformerEncoder
 
@@ -70,10 +71,10 @@ class EENDVCModel(nn.Module):
         vecs = []
         for i, h in enumerate(self.vec_heads):
             v = h(emb).astype(jnp.float32)  # (B, T, D)
-            v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+            v = l2_normalize(v)
             w = z[..., i : i + 1]
             s = jnp.sum(v * w, axis=1)  # (B, D)
-            s = s / jnp.maximum(jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-8)
+            s = l2_normalize(s)
             vecs.append(s)
         return logits, jnp.stack(vecs, axis=1)
 
@@ -92,7 +93,7 @@ class EENDVCModel(nn.Module):
         (reference spk_loss, models_vector_cluster.py:159-192).
         """
         table = self.spk_table.embedding
-        table = table / jnp.maximum(jnp.linalg.norm(table, axis=-1, keepdims=True), 1e-8)
+        table = l2_normalize(table)
         d2 = jnp.sum((vecs[..., None, :] - table) ** 2, axis=-1)
         alpha = jnp.maximum(self.alpha, 1e-8)
         return -(alpha * d2 + self.beta)

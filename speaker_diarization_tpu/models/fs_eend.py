@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import features as F
+from ..ops.losses import l2_normalize
 from .eend import FrontendConfig
 from .transformer import (
     TransformerEncoder,
@@ -116,7 +117,7 @@ class FSEENDModel(nn.Module):
         cm = make_causal_mask(T, self.mask_delay)
         emb = self.encoder(x.astype(self.dtype), frame_mask=frame_mask, attn_mask=cm, deterministic=deterministic)
         emb = self.lookahead_conv(emb)
-        emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+        emb = l2_normalize(emb)
 
         C = self.n_channels
         pe = jnp.asarray(sinusoidal_position_encoding(C, self.d_model), emb.dtype)  # (C, D)
@@ -126,7 +127,7 @@ class FSEENDModel(nn.Module):
         att = self.convert(jnp.concatenate([emb_b, pe_b], axis=-1))
         for layer in self.fusion:
             att = layer(att, deterministic)
-        att = att / jnp.maximum(jnp.linalg.norm(att, axis=-1, keepdims=True), 1e-8)
+        att = l2_normalize(att)
 
         logits = jnp.einsum("btd,btcd->btc", emb, att).astype(jnp.float32)
         if frame_mask is not None:
@@ -152,10 +153,10 @@ def fs_eend_labels(labels: jnp.ndarray, frame_mask: jnp.ndarray | None = None):
 def consistency_loss(emb: jnp.ndarray, channel_labels: jnp.ndarray, frame_mask=None) -> jnp.ndarray:
     """MSE between frame-embedding cosine map and label cosine map
     (reference fs_eend.py:57-70)."""
-    an = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-6)
-    amap = jnp.einsum("btd,bsd->bts", emb, emb) / (an * an.transpose(0, 2, 1))
-    tn = jnp.maximum(jnp.linalg.norm(channel_labels, axis=-1, keepdims=True), 1e-6)
-    lmap = jnp.einsum("btc,bsc->bts", channel_labels, channel_labels) / (tn * tn.transpose(0, 2, 1))
+    en = l2_normalize(emb, eps=1e-6)
+    amap = jnp.einsum("btd,bsd->bts", en, en)
+    ln = l2_normalize(channel_labels, eps=1e-6)
+    lmap = jnp.einsum("btc,bsc->bts", ln, ln)
     e = (amap - lmap) ** 2
     if frame_mask is not None:
         m = frame_mask[:, :, None] * frame_mask[:, None, :]

@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import losses as L
 from ..ops import powerset as P
 from .speaker_encoders import ResNet34
 from .transformer import TransformerEncoderLayer
@@ -104,7 +105,7 @@ class SONDModel(nn.Module):
         """(B, N, spk_emb_dim) → (B, N, d_model), L2-normalized."""
         h = nn.relu(self.spk_proj1(spk_embs.astype(self.dtype)))
         h = self.spk_proj2(h)
-        return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
+        return L.l2_normalize(h)
 
     def __call__(self, fbank, spk_embs, train: bool = False):
         """fbank (B, T100, F), spk_embs (B, N=max_speakers, D) →
@@ -112,7 +113,7 @@ class SONDModel(nn.Module):
         c = self.cfg
         frames = self.encode_speech(fbank, train)  # (B, T, D)
         spk = self.encode_speakers(spk_embs)  # (B, N, D)
-        fn = frames / jnp.maximum(jnp.linalg.norm(frames, axis=-1, keepdims=True), 1e-8)
+        fn = L.l2_normalize(frames)
         ci = jnp.einsum("btd,bnd->btn", fn, spk)  # cosine CI scores
 
         # CD scorer: per-speaker fused sequence through shared transformer
@@ -148,13 +149,21 @@ def make_sond_loss(model: SONDModel):
             logits = model.apply(variables, batch["fbank"], batch["spk_embs"], False)
             new_mut = mutable
         labels = batch["labels"]  # (B, T_frames, max_speakers) multilabel
+        # The ResNet34 frame encoder rounds the ×8 downsample up while label
+        # subsampling rounds down — crop both to the common length.
+        T = min(logits.shape[1], labels.shape[1])
+        logits = logits[:, :T]
+        labels = labels[:, :T]
+        frame_mask = batch.get("frame_mask")
+        if frame_mask is not None:
+            frame_mask = frame_mask[:, :T]
         loss, _ = P.powerset_pit_ce(
             logits, labels, c.max_speakers, c.max_set_size,
-            frame_mask=batch.get("frame_mask"), label_smoothing=c.label_smoothing,
+            frame_mask=frame_mask, label_smoothing=c.label_smoothing,
         )
         # frame-level DER from powerset argmax
         pred_ml = P.powerset_to_multilabel(jnp.argmax(logits, -1), c.max_speakers, c.max_set_size)
-        stats = M.diarization_error_stats((pred_ml * 2 - 1) * 10.0, labels, batch.get("frame_mask"))
+        stats = M.diarization_error_stats((pred_ml * 2 - 1) * 10.0, labels, frame_mask)
         return loss, ({"frame_der": M.der_from_stats(stats)}, new_mut)
 
     return loss_fn

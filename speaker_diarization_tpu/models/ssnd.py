@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import features as F
+from ..ops.losses import l2_normalize
 from .campplus import CAMPPlus
 from .conformer import ConformerEncoder
 
@@ -127,7 +128,7 @@ class SSNDModel(nn.Module):
         """x_fea (B, T, D), aux_embs (B, N, emb_dim) → VAD logits (B, N, vad_out_len)."""
         B, T, _ = x_fea.shape
         N = self.cfg.max_speakers
-        q_aux = aux_embs / jnp.maximum(jnp.linalg.norm(aux_embs, axis=-1, keepdims=True), 1e-8)
+        q_aux = l2_normalize(aux_embs)
         x_dec = jnp.broadcast_to(self.det_query[None], (B, N, self.cfg.d_model)).astype(self.dtype)
         k_pos = jnp.broadcast_to(self.pos_emb[:, :T], (B, T, self.cfg.pos_emb_dim)).astype(self.dtype)
         for layer in self.det_layers:
@@ -166,8 +167,8 @@ class SSNDModel(nn.Module):
     def arcface_logits(self, emb: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
         """Scaled cos(θ+m) logits vs E_all (reference compute_arcface_loss)."""
         c = self.cfg
-        e = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
-        W = self.E_all / jnp.maximum(jnp.linalg.norm(self.E_all, axis=-1, keepdims=True), 1e-8)
+        e = l2_normalize(emb)
+        W = l2_normalize(self.E_all)
         cos = jnp.clip(e @ W.T, -0.9999, 0.9999)  # (M, n_all)
         theta = jnp.arccos(cos)
         onehot = jax.nn.one_hot(labels, c.n_all_speakers)

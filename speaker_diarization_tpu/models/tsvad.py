@@ -49,7 +49,9 @@ class TSVADConfig:
     multi_backend_type: str = "transformer"
     d_state: int = 64  # mamba state size (reference mamba2 cfg)
     expand: int = 2
-    speech_encoder_type: str = "campplus"  # campplus | wavlm | wavlm_weight_sum | w2vbert | resnet34 | simam_resnet34 | ecapa
+    # campplus | wavlm | wavlm_weight_sum | w2vbert | hubert | wav2vec2 | mms
+    # | resnet34 | simam_resnet34 | ecapa | redimnet_b*
+    speech_encoder_type: str = "campplus"
     wavlm_layers: int = 12  # transformer layers used (reference select 6-12)
     wavlm_embed_dim: int = 768
     w2vbert_layers: int = 6  # reference best config uses the first 6 layers
@@ -166,15 +168,22 @@ class TSVADModel(nn.Module):
                 remat=self.remat_encoder,
                 dtype=self.dtype,
             )
-        elif c.speech_encoder_type in ("wavlm", "wavlm_weight_sum"):
+        elif c.speech_encoder_type in ("wavlm", "wavlm_weight_sum", "hubert", "wav2vec2", "mms"):
             from .wavlm import WavLMFlaxConfig, WavLMModel
 
+            # hubert / wav2vec2 / mms (reference model.py:449-493 — the
+            # 'wav2vec2' type is the mms-300m/1b loader) share the trunk
+            # minus WavLM's gated relative position bias; checkpoints load
+            # via utils/torch_convert.hubert_torch_to_flax.
+            wavlm_like = c.speech_encoder_type in ("wavlm", "wavlm_weight_sum")
             self.speech_encoder = WavLMModel(
                 cfg=WavLMFlaxConfig(
                     encoder_layers=c.wavlm_layers,
                     encoder_embed_dim=c.wavlm_embed_dim,
                     encoder_ffn_embed_dim=4 * c.wavlm_embed_dim,
                     encoder_attention_heads=max(1, c.wavlm_embed_dim // 64),
+                    relative_position_embedding=wavlm_like,
+                    gru_rel_pos=wavlm_like,
                 ),
                 dtype=self.dtype,
             )
@@ -293,7 +302,7 @@ class TSVADModel(nn.Module):
             stacked = jnp.stack(layers[1:], axis=0)  # (L, B, T50, D)
             w = jax.nn.softmax(self.wavlm_weights)
             x = jnp.einsum("l,lbtd->btd", w, stacked)
-        elif c.speech_encoder_type == "wavlm":
+        elif c.speech_encoder_type in ("wavlm", "hubert", "wav2vec2", "mms"):
             x = self.speech_encoder.extract_features(audio_or_fbank)  # (B, T50, 768)
         elif c.speech_encoder_type == "w2vbert":
             from .w2vbert import fbank_to_w2vbert_features

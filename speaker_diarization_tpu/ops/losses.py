@@ -30,6 +30,19 @@ def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-8) -> jnp.ndarray:
+    """Gradient-safe L2 normalization.
+
+    `x / max(norm(x), eps)` has a NaN gradient at exactly-zero rows (the
+    derivative of the norm at 0 is 0/0, and `0 * nan = nan` survives the
+    clamp). This form — `x * rsqrt(sum(x²) + eps²)` — is finite everywhere,
+    which matters because zero rows DO occur (zero-vector silence speakers in
+    TS-VAD/SOND enrollment, reference ts_vad_dataset.py:508).
+    """
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(sq + eps * eps)
+
+
 @functools.lru_cache(maxsize=16)
 def permutation_table(n: int) -> np.ndarray:
     """(n!, n) int32 table of all permutations of range(n)."""

@@ -203,3 +203,29 @@ class TestEmbeddingStore:
         audio = _rand_audio(16000 * 10, 5)
         out = chunk_embeddings(embed_fn, audio, 16000, window_s=6.0, hop_s=1.0, batch_size=3)
         assert out.shape == (5, 5)  # (10-6)/1 + 1 windows
+
+
+class TestSSLEncoderTypes:
+    """hubert / wav2vec2 (mms) TS-VAD encoder options (reference
+    ts_vad2/model.py:449-493 — the 'wav2vec2' type is the mms loader).
+    Architecture = the WavLM trunk without gated relative position bias;
+    checkpoint parity is covered by tests/test_hubert.py."""
+
+    @pytest.mark.parametrize("enc", ["hubert", "mms"])
+    def test_forward_shapes(self, enc):
+        cfg = TSVADConfig(
+            max_num_speaker=4, speaker_embed_dim=192, transformer_embed_dim=384,
+            transformer_ffn_embed_dim=256, num_transformer_layer=1, dropout=0.0,
+            speech_encoder_type=enc, wavlm_layers=1, wavlm_embed_dim=64,
+        )
+        model = TSVADModel(cfg=cfg)
+        B, secs = 1, 2
+        audio = jnp.asarray(_rand_audio(B * secs * 16000).reshape(B, -1))
+        embs = jnp.asarray(np.random.default_rng(0).standard_normal((B, 4, 192)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), audio, embs, secs * 25)
+        # no relative-position-bias params in the hubert/mms trunk
+        flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+        keys = [jax.tree_util.keystr(k) for k, _ in flat]
+        assert not any("relative_attention_bias" in k or "grep" in k for k in keys)
+        logits = model.apply(variables, audio, embs, secs * 25)
+        assert logits.shape == (B, secs * 25, 4)
