@@ -37,17 +37,40 @@ def batch_spec(ndim: int) -> P:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Multi-process (multi-host): each process passes its HOST-LOCAL batch
+    shard — the per-host data-loading contract of the reference's DDP
+    (each NCCL rank loads its own batch slice); the global batch is
+    assembled across processes (global batch = local batch × process
+    count along 'data').
+    """
+    multiprocess = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, batch_spec(np.ndim(x))))
+        sharding = NamedSharding(mesh, batch_spec(np.ndim(x)))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):
-    """Device-put a pytree fully replicated over the mesh."""
+    """Device-put a pytree fully replicated over the mesh.
+
+    Multi-process: every process must pass the same host values (e.g.
+    params initialized from the same seed); each contributes its local
+    devices' replicas.
+    """
+    multiprocess = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        sharding = NamedSharding(mesh, P())
+        if multiprocess:
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, tree)
 
