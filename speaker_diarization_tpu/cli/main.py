@@ -68,6 +68,10 @@ class TrainCliConfig:
     encoder_blocks: str = ""
     # eend_vc
     all_n_speakers: int = 0
+    # spk (speaker-embedding pretraining)
+    spk_dur: float = 2.0  # crop seconds per training utterance
+    aam_margin: float = 0.2
+    aam_scale: float = 32.0
     # optimization
     batch_size: int = 16
     num_steps: int = 10000
@@ -194,6 +198,20 @@ def _build_model(cfg: TrainCliConfig):
                 dec_layers=max(cfg.n_layers // 2, 1), dropout=cfg.dropout,
             ),
             frontend=_frontend_from_cfg(cfg),
+            dtype=dtype,
+        )
+    if cfg.family == "spk":
+        from ..models.spk_embed import SpeakerClassifier, SpkEmbedConfig
+
+        return SpeakerClassifier(
+            cfg=SpkEmbedConfig(
+                n_classes=cfg.all_n_speakers,
+                encoder=cfg.speech_encoder_type,
+                feat_dim=cfg.n_mels,
+                margin=cfg.aam_margin,
+                scale=cfg.aam_scale,
+                encoder_blocks=_blocks_override(cfg, (12, 24, 16)),
+            ),
             dtype=dtype,
         )
     if cfg.family == "sond":
@@ -394,6 +412,38 @@ def cmd_train(args) -> int:
         state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
         make_train = lambda ep: _ssnd_batches(cfg.batch_size)  # noqa: E731
         make_valid = None
+    elif cfg.family == "spk":
+        # speaker-embedding pretraining (AAM-softmax over corpus speakers) —
+        # the standalone replacement for the reference's external
+        # modelscope/wespeaker encoder checkpoints
+        from ..data.spk_dataset import SpeakerUttDataset, spk_batch_iterator
+        from ..ops.features import kaldi_fbank_auto
+
+        train_ds = SpeakerUttDataset(
+            args.train_dir, dur=cfg.spk_dur, rate=cfg.sample_rate, is_train=True, seed=cfg.seed
+        )
+        valid_ds = (
+            SpeakerUttDataset(args.valid_dir, dur=cfg.spk_dur, rate=cfg.sample_rate, is_train=False)
+            if args.valid_dir else None
+        )
+        if cfg.all_n_speakers == 0:
+            cfg = dataclasses.replace(cfg, all_n_speakers=train_ds.n_speakers)
+            model = _build_model(cfg)
+        loss_fn = tasks.make_spk_loss(model, sample_rate=cfg.sample_rate)
+        cfg, mesh = _fit_batch_to_mesh(cfg, mesh)
+        trainer = Trainer(loss_fn, tcfg, mesh=mesh, has_mutable=True)
+        b0 = next(spk_batch_iterator(train_ds, cfg.batch_size, shuffle=False))
+        fb0 = kaldi_fbank_auto(
+            jnp.asarray(b0["audio"]), num_mel_bins=model.cfg.feat_dim,
+            sample_rate=cfg.sample_rate, mean_norm=True,
+        )
+        variables = model.init(jax.random.PRNGKey(cfg.seed), fb0, None, False)
+        state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
+        make_train = lambda ep: spk_batch_iterator(train_ds, cfg.batch_size, True, cfg.seed, epoch=ep)  # noqa: E731
+        make_valid = (
+            (lambda: spk_batch_iterator(valid_ds, min(cfg.batch_size, len(valid_ds)), False))
+            if valid_ds else None
+        )
     elif cfg.family == "sond":
         # powerset SOND over TS-VAD-style chunks: profile inventory = the
         # target-speaker embedding store (reference sond/ trains from
@@ -600,6 +650,34 @@ def cmd_export_vad(args) -> int:
     return 0
 
 
+def cmd_export_encoder(args) -> int:
+    """spk-family checkpoint → npz encoder usable by `extract-embeddings`."""
+    import jax
+
+    from ..models.spk_embed import SpkEmbedConfig, save_encoder
+    from ..train.checkpoints import CheckpointManager
+    from ..utils.config import apply_overrides, load_yaml
+
+    cfg = load_yaml(TrainCliConfig, args.config) if args.config else TrainCliConfig()
+    if args.set:
+        cfg = apply_overrides(cfg, args.set)
+    mgr = CheckpointManager(args.exp_dir)
+    state = mgr.restore(args.step)
+    params = state["params"] if isinstance(state, dict) else state.params
+    mutable = state.get("mutable") if isinstance(state, dict) else state.mutable
+    variables = {
+        "params": params["speech_encoder"],
+        "batch_stats": (mutable or {}).get("batch_stats", {}).get("speech_encoder", {}),
+    }
+    scfg = SpkEmbedConfig(
+        n_classes=1, encoder=cfg.speech_encoder_type, feat_dim=cfg.n_mels,
+        encoder_blocks=_blocks_override(cfg, (12, 24, 16)),
+    )
+    save_encoder(args.out, scfg, jax.device_get(variables))
+    print(args.out)
+    return 0
+
+
 def cmd_score(args) -> int:
     from ..score import score_der
     from ..score.cder import score_cder
@@ -646,17 +724,26 @@ def cmd_extract_embeddings(args) -> int:
     from ..ops import features as F
     from ..utils.torch_convert import load_campplus_checkpoint
 
-    camp = CAMPPlus()
-    if args.encoder_ckpt:
+    if args.encoder_ckpt and args.encoder_ckpt.endswith(".npz"):
+        # our own trained encoder (CLI `train --family spk` → `export-encoder`)
+        from ..models.spk_embed import load_encoder
+
+        camp, variables = load_encoder(args.encoder_ckpt)
+        n_mels = camp.feat_dim
+    elif args.encoder_ckpt:
+        camp = CAMPPlus()
+        n_mels = 80
         params, stats = load_campplus_checkpoint(args.encoder_ckpt)
         variables = {"params": params, "batch_stats": stats}
     else:
+        camp = CAMPPlus()
+        n_mels = 80
         variables = camp.init(jax.random.PRNGKey(0), jnp.zeros((1, 198, 80), jnp.float32), False, "embedding")
         logging.warning("no --encoder-ckpt: using random encoder weights")
 
     @jax.jit
     def embed(b):
-        fb = F.kaldi_fbank_jax(jnp.asarray(b), sample_rate=args.rate, mean_norm=True)
+        fb = F.kaldi_fbank_jax(jnp.asarray(b), sample_rate=args.rate, num_mel_bins=n_mels, mean_norm=True)
         return camp.apply(variables, fb, False, "embedding")
 
     kd = KaldiData(args.data_dir)
@@ -856,7 +943,7 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train", help="train a diarization model")
     t.add_argument(
         "--family",
-        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "vad", "ssnd", "sond"],
+        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "vad", "ssnd", "sond", "spk"],
     )
     t.add_argument("--config", help="YAML config (TrainCliConfig fields)")
     t.add_argument("--set", action="append", default=[], help="dotted overrides key=value")
@@ -942,10 +1029,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop speakers with less clean speech than this")
     pt.set_defaults(fn=cmd_prepare_targets)
 
+    ee = sub.add_parser("export-encoder", help="export a trained spk encoder for extract-embeddings")
+    ee.add_argument("--exp-dir", required=True)
+    ee.add_argument("--step", type=int)
+    ee.add_argument("--out", required=True, help="output .npz path")
+    ee.add_argument("--config", help="the training YAML (to recover model dims)")
+    ee.add_argument("--set", action="append", default=[])
+    ee.set_defaults(fn=cmd_export_encoder)
+
     e = sub.add_parser("extract-embeddings", help="dump target-speaker embeddings to npz")
     e.add_argument("--data-dir", required=True, help="Kaldi dir of per-speaker target wavs")
     e.add_argument("--out", required=True)
-    e.add_argument("--encoder-ckpt")
+    e.add_argument("--encoder-ckpt", help="torch CAM++ .pt/.bin, or our export-encoder .npz")
     e.add_argument("--rate", type=int, default=16000)
     e.add_argument("--window", type=float, default=6.0)
     e.add_argument("--hop", type=float, default=1.0)

@@ -1,0 +1,100 @@
+"""Utterance dataset for speaker-embedding pretraining.
+
+Reads a Kaldi dir (wav.scp + utt2spk, optional segments); yields
+fixed-duration audio crops with integer speaker labels. Train: random crop
+(wrap-pad short utterances); eval: center crop. This feeds
+models/spk_embed.SpeakerClassifier — the standalone replacement for the
+reference's externally-trained modelscope/wespeaker encoders.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from . import kaldi_io
+from .wav import load_wav_maybe_piped
+
+
+class SpeakerUttDataset:
+    def __init__(
+        self,
+        data_dir: str,
+        dur: float = 2.0,
+        rate: int = 16000,
+        is_train: bool = True,
+        seed: int = 0,
+        min_dur: float = 0.5,
+    ):
+        self.kd = kaldi_io.KaldiData(data_dir)
+        self.rate = rate
+        self.samples = int(dur * rate)
+        self.is_train = is_train
+        self.rng = random.Random(seed)
+        if not self.kd.utt2spk:
+            raise ValueError(f"{data_dir} has no utt2spk — required for speaker training")
+        # (utt, rec, start_s, end_s) from segments, else whole recordings
+        self.utts: List[Tuple[str, str, Optional[float], Optional[float]]] = []
+        if self.kd.segments:
+            for rec, segs in sorted(self.kd.segments.items()):
+                for seg in segs:
+                    if seg["et"] - seg["st"] >= min_dur and seg["utt"] in self.kd.utt2spk:
+                        self.utts.append((seg["utt"], rec, seg["st"], seg["et"]))
+        else:
+            for utt in sorted(self.kd.utt2spk):
+                if utt in self.kd.wavs:
+                    self.utts.append((utt, utt, None, None))
+        self.speakers = sorted({self.kd.utt2spk[u] for u, _, _, _ in self.utts})
+        self.spk_index: Dict[str, int] = {s: i for i, s in enumerate(self.speakers)}
+        self._cache: Dict[str, Tuple[np.ndarray, int]] = {}
+
+    @property
+    def n_speakers(self) -> int:
+        return len(self.speakers)
+
+    def __len__(self):
+        return len(self.utts)
+
+    def _load(self, rec: str) -> np.ndarray:
+        if rec not in self._cache:
+            audio, rate = load_wav_maybe_piped(self.kd.wavs[rec])
+            if audio.ndim > 1:
+                audio = audio[:, 0]
+            assert rate == self.rate, (rate, self.rate)
+            if len(self._cache) > 64:
+                self._cache.clear()
+            self._cache[rec] = audio.astype(np.float32)
+        return self._cache[rec]
+
+    def __getitem__(self, idx: int):
+        utt, rec, st, et = self.utts[idx]
+        audio = self._load(rec)
+        if st is not None:
+            audio = audio[int(st * self.rate): int(et * self.rate)]
+        n = self.samples
+        if len(audio) < n:
+            audio = np.tile(audio, n // max(len(audio), 1) + 1)
+        if self.is_train:
+            off = self.rng.randint(0, len(audio) - n)
+        else:
+            off = (len(audio) - n) // 2
+        return dict(
+            audio=audio[off: off + n],
+            label=np.int32(self.spk_index[self.kd.utt2spk[utt]]),
+        )
+
+
+def spk_batch_iterator(
+    ds: SpeakerUttDataset, batch_size: int, shuffle: bool = True, seed: int = 0, epoch: int = 0
+) -> Iterator[dict]:
+    order = list(range(len(ds)))
+    if shuffle:
+        random.Random(seed * 10007 + epoch).shuffle(order)
+    for i in range(0, len(order) - batch_size + 1, batch_size):
+        items = [ds[j] for j in order[i: i + batch_size]]
+        yield dict(
+            audio=np.stack([it["audio"] for it in items]),
+            label=np.stack([it["label"] for it in items]),
+        )

@@ -283,3 +283,32 @@ def make_sond_loss_from_audio(model, frame_size: int = 400, frame_shift: int = 1
         return base(params, mutable, b2, rng, train)
 
     return loss_fn
+
+
+def make_spk_loss(model, frame_size: int = 400, frame_shift: int = 160, sample_rate: int = 16000):
+    """loss_fn (has_mutable) for SpeakerClassifier: on-device kaldi fbank →
+    AAM-softmax CE (the objective behind the reference's external
+    modelscope/wespeaker encoder checkpoints). Aux carries top-1 accuracy."""
+    from ..ops.features import kaldi_fbank_auto
+
+    def loss_fn(params, mutable, batch, rng, train):
+        fbank = kaldi_fbank_auto(
+            batch["audio"], num_mel_bins=model.cfg.feat_dim,
+            sample_rate=sample_rate, mean_norm=True,
+        )
+        variables = {"params": params, **mutable}
+        if train:
+            logits, new_mut = model.apply(
+                variables, fbank, batch["label"], True, mutable=["batch_stats"],
+            )
+            new_mut = dict(new_mut)
+        else:
+            logits = model.apply(variables, fbank, None, False)
+            new_mut = mutable
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(batch["label"], logits.shape[-1])
+        loss = -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+        acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32))
+        return loss, ({"acc": acc}, new_mut)
+
+    return loss_fn
