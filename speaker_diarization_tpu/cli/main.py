@@ -72,6 +72,9 @@ class TrainCliConfig:
     spk_dur: float = 2.0  # crop seconds per training utterance
     aam_margin: float = 0.2
     aam_scale: float = 32.0
+    # tsvad: stop-gradient the (pretrained) speech encoder for this run
+    # (reference freeze_speech_encoder_updates, model.py:771)
+    freeze_encoder: bool = False
     # optimization
     batch_size: int = 16
     num_steps: int = 10000
@@ -157,9 +160,13 @@ def _build_model(cfg: TrainCliConfig):
     if cfg.family == "tsvad":
         from ..models import TSVADConfig, TSVADModel
 
+        # n_mels defaults to the EEND frontend's 23; TS-VAD's CAM++ fbank is
+        # 80-dim (reference FBank feat_dim, ts_vad_dataset.py:29) unless set
+        feat_dim = cfg.n_mels if cfg.n_mels != 23 else 80
         return TSVADModel(
             cfg=TSVADConfig(
                 max_num_speaker=cfg.n_speakers if cfg.n_speakers > 2 else 4,
+                feat_dim=feat_dim,
                 num_transformer_layer=cfg.n_layers,
                 num_attention_head=cfg.n_heads,
                 transformer_ffn_embed_dim=cfg.d_ff,
@@ -363,14 +370,22 @@ def cmd_train(args) -> int:
             else None
         )
         T = int(cfg.rs_len * 25)
-        loss_fn = tasks.make_tsvad_loss(model, T)
+        loss_fn = tasks.make_tsvad_loss(model, T, freeze_encoder=cfg.freeze_encoder)
         cfg, mesh = _fit_batch_to_mesh(cfg, mesh)
         trainer = Trainer(loss_fn, tcfg, mesh=mesh, has_mutable=True)
         b0 = next(tsvad_batch_iterator(train_ds, cfg.batch_size, shuffle=False))
         variables = model.init(
             jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]), jnp.asarray(b0["target_embs"]), T
         )
-        if args.encoder_ckpt:
+        if args.encoder_ckpt and args.encoder_ckpt.endswith(".npz"):
+            # our own trained encoder (train --family spk → export-encoder)
+            from ..models.spk_embed import load_encoder
+
+            _, enc_vars = load_encoder(args.encoder_ckpt)
+            variables["params"]["speech_encoder"] = enc_vars["params"]
+            variables["batch_stats"]["speech_encoder"] = enc_vars["batch_stats"]
+            logging.info("loaded trained speech encoder from %s", args.encoder_ckpt)
+        elif args.encoder_ckpt:
             from ..utils.torch_convert import load_campplus_checkpoint
 
             enc_p, enc_s = load_campplus_checkpoint(args.encoder_ckpt)
@@ -675,6 +690,30 @@ def cmd_export_encoder(args) -> int:
     )
     save_encoder(args.out, scfg, jax.device_get(variables))
     print(args.out)
+    return 0
+
+
+def cmd_config_dump(args) -> int:
+    """Resolved config → stdout as yaml/json/bash (reference bin/yaml2bash.py
+    — recipes source the bash form to share hyperparameters with shell)."""
+    import json
+
+    from ..utils.config import apply_overrides, load_yaml, to_dict
+
+    cfg = load_yaml(TrainCliConfig, args.config) if args.config else TrainCliConfig()
+    if args.set:
+        cfg = apply_overrides(cfg, args.set)
+    d = to_dict(cfg)
+    if args.format == "json":
+        print(json.dumps(d, indent=2))
+    elif args.format == "bash":
+        for k, v in d.items():
+            if isinstance(v, bool):
+                v = "true" if v else "false"
+            print(f"{k}={json.dumps(v) if isinstance(v, str) else v}")
+    else:
+        for k, v in d.items():
+            print(f"{k}: {v}")
     return 0
 
 
@@ -1028,6 +1067,12 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--min-target-s", type=float, default=0.0,
                     help="drop speakers with less clean speech than this")
     pt.set_defaults(fn=cmd_prepare_targets)
+
+    cd = sub.add_parser("config-dump", help="print the resolved train config (yaml/json/bash)")
+    cd.add_argument("--config")
+    cd.add_argument("--set", action="append", default=[])
+    cd.add_argument("--format", choices=["yaml", "json", "bash"], default="yaml")
+    cd.set_defaults(fn=cmd_config_dump)
 
     ee = sub.add_parser("export-encoder", help="export a trained spk encoder for extract-embeddings")
     ee.add_argument("--exp-dir", required=True)

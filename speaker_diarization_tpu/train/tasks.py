@@ -194,8 +194,13 @@ def make_ssnd_loss(model, arcface_weight: float = 0.01, bce_alpha: float = 0.75,
     return loss_fn
 
 
-def make_tsvad_loss(model, n_label_frames: int):
-    """loss_fn (has_mutable=True) for TSVADModel: masked per-speaker BCE."""
+def make_tsvad_loss(model, n_label_frames: int, freeze_encoder: bool = False):
+    """loss_fn (has_mutable=True) for TSVADModel: masked per-speaker BCE.
+
+    freeze_encoder stop-gradients the speech encoder (the reference's
+    freeze_speech_encoder_updates window, model.py:771 — here a per-run
+    flag: train the backends first with the pretrained encoder frozen,
+    then resume with it unfrozen)."""
 
     def loss_fn(params, mutable, batch, rng, train):
         if train:
@@ -205,6 +210,7 @@ def make_tsvad_loss(model, n_label_frames: int):
                 batch["target_embs"],
                 n_label_frames,
                 train=True,
+                freeze_encoder=freeze_encoder,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )
