@@ -911,16 +911,11 @@ def cmd_infer(args) -> int:
 
         probs = tsvad_infer_dataset(lambda a, e: predict(jnp.asarray(a), jnp.asarray(e)), ds)
         fs = 1.0 / 25
-        for rec, p in probs.items():
-            turns += probs_to_turns(
-                p, rec, fs, threshold=args.threshold, median=args.median, speakers=ds.rec_speakers[rec]
-            )
-        write_rttm(args.out, turns)
-        print(args.out)
-        return 0
+        rec_speakers = ds.rec_speakers  # real speaker names in the RTTM
     else:
         raise ValueError(cfg.family)
 
+    spk_names = rec_speakers if cfg.family == "tsvad" else {}
     if args.threshold_sweep:
         # reference sweep (ts_vad2/infer.py:79): write one RTTM per
         # threshold; score each when --ref given, report the best
@@ -930,7 +925,9 @@ def cmd_infer(args) -> int:
         for th in [round(0.2 + 0.05 * i, 2) for i in range(13)]:
             turns_t = []
             for rec, p in probs.items():
-                turns_t += probs_to_turns(p, rec, fs, threshold=th, median=args.median)
+                turns_t += probs_to_turns(
+                    p, rec, fs, threshold=th, median=args.median, speakers=spk_names.get(rec)
+                )
             out_t = f"{args.out}_{th:.2f}"
             write_rttm(out_t, turns_t)
             if args.ref:
@@ -943,7 +940,9 @@ def cmd_infer(args) -> int:
         return 0
 
     for rec, p in probs.items():
-        turns += probs_to_turns(p, rec, fs, threshold=args.threshold, median=args.median)
+        turns += probs_to_turns(
+            p, rec, fs, threshold=args.threshold, median=args.median, speakers=spk_names.get(rec)
+        )
     write_rttm(args.out, turns)
     print(args.out)
     return 0
