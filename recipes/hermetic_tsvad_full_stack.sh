@@ -45,7 +45,9 @@ fi
 
 if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
   $cli train --family spk --train-dir "$work/src" --exp-dir "$work/spk" --resume \
+    --noise-dir "$work/noise" \
     --set sample_rate=$rate --set n_mels=$mels --set spk_dur=2.0 \
+    --set aam_margin=0.3 \
     --set encoder_blocks=$blocks --set batch_size=64 --set num_steps=2000 \
     --set optimizer=adam --set schedule=poly --set learning_rate=1e-3 \
     --set warmup_steps=200 --set bf16=true \

@@ -435,7 +435,8 @@ def cmd_train(args) -> int:
         from ..ops.features import kaldi_fbank_auto
 
         train_ds = SpeakerUttDataset(
-            args.train_dir, dur=cfg.spk_dur, rate=cfg.sample_rate, is_train=True, seed=cfg.seed
+            args.train_dir, dur=cfg.spk_dur, rate=cfg.sample_rate, is_train=True, seed=cfg.seed,
+            noise_dir=args.noise_dir,
         )
         valid_ds = (
             SpeakerUttDataset(args.valid_dir, dur=cfg.spk_dur, rate=cfg.sample_rate, is_train=False)

@@ -27,12 +27,28 @@ class SpeakerUttDataset:
         is_train: bool = True,
         seed: int = 0,
         min_dur: float = 0.5,
+        noise_dir: Optional[str] = None,
+        aug_prob: float = 0.6,
+        noise_snrs: Tuple[float, float] = (5.0, 20.0),
     ):
         self.kd = kaldi_io.KaldiData(data_dir)
         self.rate = rate
         self.samples = int(dur * rate)
         self.is_train = is_train
         self.rng = random.Random(seed)
+        self.aug_prob = aug_prob
+        self.noise_snrs = noise_snrs
+        # additive-noise augmentation: without it, embeddings of targets cut
+        # from noisy mixtures collapse toward the noise direction (the
+        # encoder must see the deployment noise conditions)
+        self._noises: List[np.ndarray] = []
+        if noise_dir and is_train:
+            nkd = kaldi_io.KaldiData(noise_dir)
+            for recid in sorted(nkd.wavs):
+                a, r = load_wav_maybe_piped(nkd.wavs[recid])
+                if a.ndim > 1:
+                    a = a[:, 0]
+                self._noises.append(a.astype(np.float32))
         if not self.kd.utt2spk:
             raise ValueError(f"{data_dir} has no utt2spk — required for speaker training")
         # (utt, rec, start_s, end_s) from segments, else whole recordings
@@ -80,10 +96,26 @@ class SpeakerUttDataset:
             off = self.rng.randint(0, len(audio) - n)
         else:
             off = (len(audio) - n) // 2
+        crop = audio[off: off + n]
+        if self._noises and self.rng.random() < self.aug_prob:
+            crop = self._add_noise(crop)
         return dict(
-            audio=audio[off: off + n],
+            audio=crop,
             label=np.int32(self.spk_index[self.kd.utt2spk[utt]]),
         )
+
+    def _add_noise(self, audio: np.ndarray) -> np.ndarray:
+        noise = self._noises[self.rng.randrange(len(self._noises))]
+        n = len(audio)
+        if len(noise) < n:
+            noise = np.tile(noise, n // max(len(noise), 1) + 1)
+        off = self.rng.randint(0, len(noise) - n)
+        noise = noise[off: off + n]
+        snr = self.rng.uniform(*self.noise_snrs)
+        ap = np.mean(audio ** 2) + 1e-12
+        np_ = np.mean(noise ** 2) + 1e-12
+        scale = np.sqrt(ap / (np_ * 10.0 ** (snr / 10.0)))
+        return (audio + scale * noise).astype(np.float32)
 
 
 def spk_batch_iterator(

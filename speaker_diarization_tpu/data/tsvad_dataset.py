@@ -121,9 +121,10 @@ class TSVADChunkDataset:
     def _target_embedding(self, rec: str, spk: str) -> np.ndarray:
         m = self.embs.get(rec, spk) if self.embs.has(rec, spk) else None
         if m is None or len(m) == 0:
-            # fall back to any recording of this speaker
+            # fall back to any recording of this speaker with usable windows
+            # (a target can have <1 s of overlap-free speech in one meeting)
             for r, spks in self.embs.speakers().items():
-                if spk in spks:
+                if spk in spks and len(self.embs.get(r, spk)):
                     m = self.embs.get(r, spk)
                     break
         if m is None or len(m) == 0:

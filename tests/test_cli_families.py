@@ -100,3 +100,65 @@ def test_train_sond_cli(corpus, tmp_path):
     assert rc == 0
     losses = _losses(str(exp))
     assert losses and np.isfinite(losses).all()
+
+
+def test_tsvad_cli_train_infer_sweep(corpus, tmp_path):
+    """tsvad through the CLI end-to-end incl. the threshold sweep (which
+    regressed once by returning before the sweep block) and the npz
+    self-trained encoder path."""
+    root, data_dir = corpus
+    src_dir = os.path.join(os.path.dirname(data_dir.rstrip("/")), "src")
+
+    # tiny spk encoder → export → targets → embeddings
+    assert main([
+        "train", "--family", "spk", "--train-dir", src_dir,
+        "--exp-dir", str(tmp_path / "spk"),
+        "--set", "sample_rate=8000", "--set", "n_mels=40", "--set", "spk_dur=1.0",
+        "--set", "encoder_blocks=1,1", "--set", "batch_size=4", "--set", "num_steps=2",
+        "--set", "schedule=const", "--set", "learning_rate=1e-3",
+        "--set", "log_every=1", "--set", "valid_every=100",
+    ]) == 0
+    enc = str(tmp_path / "enc.npz")
+    assert main([
+        "export-encoder", "--exp-dir", str(tmp_path / "spk"), "--out", enc,
+        "--set", "n_mels=40", "--set", "encoder_blocks=1,1",
+    ]) == 0
+    targets = str(tmp_path / "targets")
+    assert main([
+        "prepare-targets", "--rttm", os.path.join(data_dir, "rttm"),
+        "--data-dir", data_dir, "--out", targets,
+    ]) == 0
+    embs = str(tmp_path / "embs.npz")
+    assert main([
+        "extract-embeddings", "--data-dir", targets, "--out", embs,
+        "--encoder-ckpt", enc, "--rate", "8000", "--window", "1.0", "--hop", "0.5",
+    ]) == 0
+
+    exp = str(tmp_path / "tsvad")
+    assert main([
+        "train", "--family", "tsvad", "--train-dir", data_dir, "--exp-dir", exp,
+        "--emb-store", embs, "--encoder-ckpt", enc,
+        "--set", "sample_rate=8000", "--set", "n_mels=40", "--set", "encoder_blocks=1,1",
+        "--set", "rs_len=2.0", "--set", "batch_size=2", "--set", "num_steps=2",
+        "--set", "d_ff=64", "--set", "n_layers=1", "--set", "freeze_encoder=true",
+        "--set", "schedule=const", "--set", "learning_rate=1e-4",
+        "--set", "log_every=1", "--set", "valid_every=100",
+    ]) == 0
+    out = str(tmp_path / "hyp.rttm")
+    assert main([
+        "infer", "--family", "tsvad", "--data-dir", data_dir, "--exp-dir", exp,
+        "--emb-store", embs, "--out", out, "--threshold-sweep",
+        "--ref", os.path.join(data_dir, "rttm"),
+        "--set", "sample_rate=8000", "--set", "n_mels=40", "--set", "encoder_blocks=1,1",
+        "--set", "rs_len=2.0", "--set", "d_ff=64", "--set", "n_layers=1",
+    ]) == 0
+    import glob
+
+    rttms = glob.glob(out + "_0.*")
+    assert len(rttms) == 13  # thresholds 0.2..0.8
+    # sweep RTTMs carry the real speaker names from the data dir
+    names = {l.split()[7] for r in rttms for l in open(r) if l.strip()}
+    from speaker_diarization_tpu.data.rttm import read_rttm_by_rec
+
+    ref_names = {t.speaker for ts in read_rttm_by_rec(os.path.join(data_dir, "rttm")).values() for t in ts}
+    assert names <= ref_names
