@@ -60,6 +60,10 @@ class TrainCliConfig:
     multi_backend_type: str = "transformer"  # + lstm
     d_state: int = 64
     expand: int = 2
+    # tsvad_streaming (reference ts_vad2_streaming: static_chunk_size 64
+    # @100 Hz = 16 frames @25 Hz; num_left_chunks history window)
+    streaming_chunk_size: int = 16
+    streaming_left_chunks: int = 4
     # ssnd (on-the-fly simulated mixtures, reference simu_diar_dataset.py)
     ssnd_overlap_prob: float = 0.3
     ssnd_sil_scale: float = 1.0
@@ -180,6 +184,25 @@ def _build_model(cfg: TrainCliConfig):
                 encoder_block_layers=_blocks_override(cfg, (12, 24, 16)),
             ),
             remat_encoder=cfg.remat,
+            dtype=dtype,
+        )
+    if cfg.family == "tsvad_streaming":
+        from ..models.streaming_tsvad import StreamingTSVADConfig, StreamingTSVADModel
+
+        feat_dim = cfg.n_mels if cfg.n_mels != 23 else 80
+        return StreamingTSVADModel(
+            cfg=StreamingTSVADConfig(
+                max_num_speaker=cfg.n_speakers if cfg.n_speakers > 2 else 4,
+                d_model=cfg.d_model,
+                d_ff=cfg.d_ff,
+                n_heads=cfg.n_heads,
+                n_layers=cfg.n_layers,
+                dropout=cfg.dropout,
+                sample_rate=cfg.sample_rate,
+                feat_dim=feat_dim,
+                chunk_size=cfg.streaming_chunk_size,
+                num_left_chunks=cfg.streaming_left_chunks,
+            ),
             dtype=dtype,
         )
     if cfg.family == "ssnd":
@@ -341,7 +364,7 @@ def cmd_train(args) -> int:
         # partial batches, so a small dev set would otherwise yield nothing
         vbs = min(cfg.batch_size, len(valid_ds.chunks)) if valid_ds else 0
         make_valid = (lambda: batch_iterator(valid_ds, max(1, vbs), False)) if valid_ds else None
-    elif cfg.family == "tsvad":
+    elif cfg.family in ("tsvad", "tsvad_streaming"):
         from ..data.tsvad_dataset import TSVADChunkDataset, tsvad_batch_iterator
         from ..infer.embeddings import EmbeddingStore
 
@@ -370,29 +393,39 @@ def cmd_train(args) -> int:
             else None
         )
         T = int(cfg.rs_len * 25)
-        loss_fn = tasks.make_tsvad_loss(model, T, freeze_encoder=cfg.freeze_encoder)
         cfg, mesh = _fit_batch_to_mesh(cfg, mesh)
-        trainer = Trainer(loss_fn, tcfg, mesh=mesh, has_mutable=True)
         b0 = next(tsvad_batch_iterator(train_ds, cfg.batch_size, shuffle=False))
-        variables = model.init(
-            jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]), jnp.asarray(b0["target_embs"]), T
-        )
-        if args.encoder_ckpt and args.encoder_ckpt.endswith(".npz"):
-            # our own trained encoder (train --family spk → export-encoder)
-            from ..models.spk_embed import load_encoder
+        if cfg.family == "tsvad_streaming":
+            # own conv front-end (reference parity: no CAM++), no batch
+            # stats, static chunk-masked attention during training
+            loss_fn = tasks.make_streaming_tsvad_loss(model, T)
+            trainer = Trainer(loss_fn, tcfg, mesh=mesh)
+            params = model.init(
+                jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]), jnp.asarray(b0["target_embs"]), T
+            )
+            state = trainer.init_state(params)
+        else:
+            loss_fn = tasks.make_tsvad_loss(model, T, freeze_encoder=cfg.freeze_encoder)
+            trainer = Trainer(loss_fn, tcfg, mesh=mesh, has_mutable=True)
+            variables = model.init(
+                jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]), jnp.asarray(b0["target_embs"]), T
+            )
+            if args.encoder_ckpt and args.encoder_ckpt.endswith(".npz"):
+                # our own trained encoder (train --family spk → export-encoder)
+                from ..models.spk_embed import load_encoder
 
-            _, enc_vars = load_encoder(args.encoder_ckpt)
-            variables["params"]["speech_encoder"] = enc_vars["params"]
-            variables["batch_stats"]["speech_encoder"] = enc_vars["batch_stats"]
-            logging.info("loaded trained speech encoder from %s", args.encoder_ckpt)
-        elif args.encoder_ckpt:
-            from ..utils.torch_convert import load_campplus_checkpoint
+                _, enc_vars = load_encoder(args.encoder_ckpt)
+                variables["params"]["speech_encoder"] = enc_vars["params"]
+                variables["batch_stats"]["speech_encoder"] = enc_vars["batch_stats"]
+                logging.info("loaded trained speech encoder from %s", args.encoder_ckpt)
+            elif args.encoder_ckpt:
+                from ..utils.torch_convert import load_campplus_checkpoint
 
-            enc_p, enc_s = load_campplus_checkpoint(args.encoder_ckpt)
-            variables["params"]["speech_encoder"] = enc_p
-            variables["batch_stats"]["speech_encoder"] = enc_s
-            logging.info("loaded pretrained speech encoder from %s", args.encoder_ckpt)
-        state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
+                enc_p, enc_s = load_campplus_checkpoint(args.encoder_ckpt)
+                variables["params"]["speech_encoder"] = enc_p
+                variables["batch_stats"]["speech_encoder"] = enc_s
+                logging.info("loaded pretrained speech encoder from %s", args.encoder_ckpt)
+            state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
         make_train = lambda ep: tsvad_batch_iterator(train_ds, cfg.batch_size, True, cfg.seed, epoch=ep)  # noqa: E731
         make_valid = (lambda: tsvad_batch_iterator(valid_ds, cfg.batch_size, False)) if valid_ds else None
     elif cfg.family == "ssnd":
@@ -913,10 +946,119 @@ def cmd_infer(args) -> int:
         probs = tsvad_infer_dataset(lambda a, e: predict(jnp.asarray(a), jnp.asarray(e)), ds)
         fs = 1.0 / 25
         rec_speakers = ds.rec_speakers  # real speaker names in the RTTM
+    elif cfg.family == "tsvad_streaming":
+        # chunk-by-chunk streaming decode through the per-layer KV ring
+        # caches (reference ts_vad2_streaming/model.py:368 forward_chunk_by_chunk)
+        from ..data.tsvad_dataset import TSVADChunkDataset
+        from ..infer.chunked import streaming_tsvad_infer_dataset
+        from ..infer.embeddings import EmbeddingStore
+
+        store = EmbeddingStore.load(args.emb_store)
+        ds = TSVADChunkDataset(
+            args.data_dir, store, rs_len=cfg.rs_len, segment_shift=args.infer_shift,
+            rate=cfg.sample_rate, is_train=False,
+        )
+
+        @jax.jit
+        def encode(a):
+            return model.apply(params, a, method=model.encode_frames)
+
+        @jax.jit
+        def step(mix_chunk, embs, st):
+            return model.apply(params, mix_chunk, embs, st, method=model.streaming_step_mix)
+
+        def init_state():
+            return model.apply(params, 1, method=model.streaming_state)
+
+        probs = streaming_tsvad_infer_dataset(
+            lambda a: encode(jnp.asarray(a)),
+            lambda m, e, st: step(jnp.asarray(m), jnp.asarray(e), st),
+            init_state, ds, chunk_size=model.cfg.chunk_size,
+        )
+        fs = 1.0 / 25
+        rec_speakers = ds.rec_speakers
+    elif cfg.family == "eend_m2f":
+        from ..infer import infer_dataset
+        from ..models.eend_m2f import m2f_predict_activity
+
+        class_threshold = float(args.class_threshold)
+
+        @jax.jit
+        def predict(a, m):
+            outputs = model.apply(params, a, frame_mask=m, train=False)
+            act, _keep = m2f_predict_activity(outputs, class_threshold=class_threshold)
+            # (B, Q, T) → (B, T, Q) speaker-channel probabilities
+            return act.transpose(0, 2, 1) * m[..., None]
+
+        probs = infer_dataset(
+            lambda a, m: predict(jnp.asarray(a), jnp.asarray(m)), args.data_dir, fe, cfg.chunk_frames
+        )
+    elif cfg.family == "sond":
+        # powerset decode: softmax over PSE classes → per-speaker marginals
+        # (reference sond/models.py powerset head; profiles from the
+        # target-speaker embedding store, like training)
+        from ..data.tsvad_dataset import TSVADChunkDataset
+        from ..infer import tsvad_infer_dataset
+        from ..infer.embeddings import EmbeddingStore
+        from ..ops.features import kaldi_fbank_auto
+        from ..ops.powerset import powerset_mapping
+
+        store = EmbeddingStore.load(args.emb_store)
+        ds = TSVADChunkDataset(
+            args.data_dir, store, rs_len=cfg.rs_len, segment_shift=args.infer_shift,
+            rate=cfg.sample_rate, is_train=False,
+        )
+        mapping = jnp.asarray(powerset_mapping(model.cfg.max_speakers, model.cfg.max_set_size))
+
+        @jax.jit
+        def predict(a, e):
+            fb = kaldi_fbank_auto(a, num_mel_bins=model.cfg.feat_dim, sample_rate=cfg.sample_rate)
+            logits = model.apply({"params": params, **(mutable or {})}, fb, e, False)
+            pr = jax.nn.softmax(logits, axis=-1) @ mapping.astype(logits.dtype)  # (B, T12.5, N)
+            return jnp.repeat(pr, 2, axis=1)  # 12.5 Hz (ResNet ×8) → the 25 Hz label grid
+
+        probs = tsvad_infer_dataset(lambda a, e: predict(jnp.asarray(a), jnp.asarray(e)), ds)
+        fs = 1.0 / 25
+        rec_speakers = ds.rec_speakers
+    elif cfg.family == "ssnd":
+        # online block-wise inference with a running speaker-embedding
+        # memory (reference ssnd_model.py:802 online_infer / :899
+        # offline_rescore); speakers are discovered, not enrolled
+        import numpy as np
+
+        from ..data.kaldi_io import KaldiData
+        from ..infer.ssnd_online import ssnd_offline_rescore, ssnd_online_infer
+
+        if cfg.all_n_speakers == 0:
+            # the trained global-speaker inventory size lives in E_all
+            cfg = dataclasses.replace(cfg, all_n_speakers=int(np.asarray(params["E_all"]).shape[0]))
+            model = _build_model(cfg)
+        c = model.cfg
+
+        @jax.jit
+        def predict(a, aux):
+            return model.apply({"params": params, **(mutable or {})}, a, aux, False)
+
+        e_pse = np.asarray(params["e_pse"])[0]
+        e_non = np.asarray(params["e_non"])[0]
+        block_samples = int(c.vad_out_len / 25 * cfg.sample_rate)
+        infer_fn = ssnd_offline_rescore if args.ssnd_rescore else ssnd_online_infer
+        kd = KaldiData(args.data_dir)
+        probs = {}
+        for rec in sorted(kd.wavs):
+            audio, rate = kd.load_wav(rec)
+            assert rate == cfg.sample_rate, (rate, cfg.sample_rate)
+            if audio.ndim > 1:
+                audio = audio[:, 0]
+            probs[rec] = infer_fn(
+                lambda a, x: predict(jnp.asarray(a), jnp.asarray(x)), audio,
+                block_samples, c.vad_out_len, c.max_speakers, e_pse, e_non,
+            )
+        fs = 1.0 / 25
     else:
         raise ValueError(cfg.family)
 
-    spk_names = rec_speakers if cfg.family == "tsvad" else {}
+    spk_names = rec_speakers if cfg.family in ("tsvad", "tsvad_streaming", "sond") else {}
     if args.threshold_sweep:
         # reference sweep (ts_vad2/infer.py:79): write one RTTM per
         # threshold; score each when --ref given, report the best
@@ -982,7 +1124,7 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train", help="train a diarization model")
     t.add_argument(
         "--family",
-        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "vad", "ssnd", "sond", "spk"],
+        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "tsvad_streaming", "vad", "ssnd", "sond", "spk"],
     )
     t.add_argument("--config", help="YAML config (TrainCliConfig fields)")
     t.add_argument("--set", action="append", default=[], help="dotted overrides key=value")
@@ -999,7 +1141,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="run chunked inference → RTTM")
-    i.add_argument("--family", choices=["eend", "eend_eda", "fs_eend", "eend_vc", "tsvad"])
+    i.add_argument(
+        "--family",
+        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "tsvad_streaming", "sond", "ssnd"],
+    )
     i.add_argument("--config")
     i.add_argument("--set", action="append", default=[])
     i.add_argument("--data-dir", required=True)
@@ -1009,6 +1154,8 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--threshold", type=float, default=0.5)
     i.add_argument("--median", type=int, default=11)
     i.add_argument("--attractor-threshold", type=float, default=0.5)
+    i.add_argument("--class-threshold", type=float, default=0.5, help="eend_m2f query-keep threshold")
+    i.add_argument("--ssnd-rescore", action="store_true", help="ssnd: two-pass offline rescore")
     i.add_argument("--emb-store")
     i.add_argument("--infer-shift", type=float, default=1.0)
     i.add_argument("--threshold-sweep", action="store_true", help="write RTTMs for thresholds 0.2..0.8")

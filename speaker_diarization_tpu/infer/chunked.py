@@ -140,3 +140,59 @@ def infer_dataset(
         assert rate == frontend.sample_rate, (rate, frontend.sample_rate)
         out[rec] = infer_recording(predict_fn, audio, frontend, chunk_frames, batch_size)
     return out
+
+
+def streaming_tsvad_infer_dataset(
+    encode_fn: Callable[[np.ndarray], np.ndarray],
+    step_fn: Callable[[np.ndarray, np.ndarray, dict], Tuple[np.ndarray, dict]],
+    init_state_fn: Callable[[], dict],
+    dataset,
+    chunk_size: int,
+    pad_block_s: float = 40.0,
+) -> Dict[str, np.ndarray]:
+    """Chunk-by-chunk streaming TS-VAD decode over every recording.
+
+    Reference: ts_vad2_streaming/model.py:368-462 `forward_chunk_by_chunk` —
+    the whole recording is decoded left-to-right through the per-layer KV
+    ring caches, one attention chunk at a time.
+
+    encode_fn: audio (1, N) → 25 Hz mix features (1, T, D) (the conv
+    front-end is run once over the full recording, so the streaming output
+    equals the offline chunk-masked forward exactly);
+    step_fn: (mix_chunk (1, chunk, D), embs (1, S, Dspk), state) →
+    (logits (1, chunk, S), state); init_state_fn: fresh per-recording state.
+    `dataset` is a TSVADChunkDataset(is_train=False) used for the corpus
+    wiring (recordings, canonical speaker order, mean target embeddings).
+    Audio is zero-padded to a multiple of pad_block_s to bound the number
+    of distinct compiled shapes. Returns {rec: (T25, S_rec) probs}.
+    """
+    lr = dataset.label_rate
+    S = dataset.max_speakers if hasattr(dataset, "max_speakers") else 4
+    out: Dict[str, np.ndarray] = {}
+    for rec in sorted(dataset.rec_speakers):
+        audio, rate = dataset.kd.load_wav(rec)
+        assert rate == dataset.rate, (rate, dataset.rate)
+        if audio.ndim > 1:
+            audio = audio[:, 0]
+        n_frames = int(len(audio) / rate * lr)
+        block = int(pad_block_s * rate)
+        padded = int(np.ceil(max(len(audio), 1) / block) * block)
+        audio = np.pad(audio.astype(np.float32), (0, padded - len(audio)))
+
+        speakers = list(dataset.rec_speakers[rec])
+        embs = np.zeros((1, S, dataset.embs.dim), np.float32)
+        for i, spk in enumerate(speakers[:S]):
+            embs[0, i] = dataset._target_embedding(rec, spk)
+
+        mix = np.asarray(encode_fn(audio[None]))  # (1, T, D)
+        T = mix.shape[1]
+        n_chunks = int(np.ceil(T / chunk_size))
+        mix = np.pad(mix, ((0, 0), (0, n_chunks * chunk_size - T), (0, 0)))
+        state = init_state_fn()
+        probs = []
+        for ci in range(n_chunks):
+            logits, state = step_fn(mix[:, ci * chunk_size : (ci + 1) * chunk_size], embs, state)
+            probs.append(1.0 / (1.0 + np.exp(-np.asarray(logits)[0])))
+        p = np.concatenate(probs, axis=0)[:n_frames]
+        out[rec] = p[:, : len(speakers)].astype(np.float32)
+    return out

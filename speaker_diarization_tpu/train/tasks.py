@@ -227,6 +227,31 @@ def make_tsvad_loss(model, n_label_frames: int, freeze_encoder: bool = False):
     return loss_fn
 
 
+def make_streaming_tsvad_loss(model, n_label_frames: int):
+    """loss_fn for StreamingTSVADModel over TS-VAD chunk batches: masked
+    per-speaker BCE on the chunk-masked full-sequence forward (reference
+    ts_vad2_streaming/model.py training with static_chunk_size attention
+    masks; the best recipe, run_ts_vad2_streaming.sh:157, uses the static
+    chunk). No batch stats — the streaming model is conv+LayerNorm only."""
+
+    def loss_fn(params, batch, rng, train):
+        # `params` is the full variables dict ({"params": ...}), like the
+        # other non-mutable families
+        logits = model.apply(
+            params,
+            batch["audio"],
+            batch["target_embs"],
+            n_label_frames,
+            train,
+            rngs={"dropout": rng} if train else {},
+        )
+        loss = L.standard_bce(logits, batch["labels"])
+        stats = M.diarization_error_stats(logits, batch["labels"])
+        return loss, {"frame_der": M.der_from_stats(stats)}
+
+    return loss_fn
+
+
 def make_vad_loss(model):
     """loss_fn for NeuralVAD (system SAD): frame BCE on the union of
     speaker activities. Labels come from any EEND-style chunk dataset run
