@@ -83,17 +83,24 @@ class ERes2NetBlock(nn.Module):
 
 
 class ERes2Net(nn.Module):
+    """Base ERes2Net (full 12/123/1234 GFF cascade). ERes2Net_huge
+    (reference ERes2Net_huge.py) is this class with m_channels=64,
+    base_width=24, scale=3, expansion=4."""
+
     feat_dim: int = 80
     embedding_size: int = 192
     m_channels: int = 32
     num_blocks: Sequence[int] = (3, 4, 6, 3)
+    base_width: int = 32
+    scale: int = 2
+    expansion: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, mode: Literal["frames", "embedding"] = "embedding"):
         # x: (B, T, F) fbank → (B, F, T, 1)
         B, T, Fd = x.shape
-        m = self.m_channels
+        m, e = self.m_channels, self.expansion
         h = x.transpose(0, 2, 1)[..., None]
         h = nn.Conv(m, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv1")(h)
         h = relu20(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(h))
@@ -101,25 +108,79 @@ class ERes2Net(nn.Module):
         def stage(h, planes, n, stride, use_aff, name):
             for bi in range(n):
                 h = ERes2NetBlock(
-                    planes, stride if bi == 0 else 1, use_aff=use_aff, dtype=self.dtype, name=f"{name}_{bi}"
+                    planes, stride if bi == 0 else 1,
+                    base_width=self.base_width, scale=self.scale, expansion=e,
+                    use_aff=use_aff, dtype=self.dtype, name=f"{name}_{bi}",
                 )(h, train)
             return h
 
         out1 = stage(h, m, self.num_blocks[0], 1, False, "layer1")
         out2 = stage(out1, m * 2, self.num_blocks[1], 2, False, "layer2")
-        d1 = nn.Conv(m * 4, (3, 3), strides=(2, 2), padding=1, use_bias=False, dtype=self.dtype, name="layer1_downsample")(out1)
-        fuse12 = AFF(m * 4, dtype=self.dtype, name="fuse12")(out2, d1, train)
+        d1 = nn.Conv(m * 2 * e, (3, 3), strides=(2, 2), padding=1, use_bias=False, dtype=self.dtype, name="layer1_downsample")(out1)
+        fuse12 = AFF(m * 2 * e, dtype=self.dtype, name="fuse12")(out2, d1, train)
         out3 = stage(out2, m * 4, self.num_blocks[2], 2, True, "layer3")
-        d2 = nn.Conv(m * 8, (3, 3), strides=(2, 2), padding=1, use_bias=False, dtype=self.dtype, name="layer2_downsample")(fuse12)
-        fuse123 = AFF(m * 8, dtype=self.dtype, name="fuse123")(out3, d2, train)
+        d2 = nn.Conv(m * 4 * e, (3, 3), strides=(2, 2), padding=1, use_bias=False, dtype=self.dtype, name="layer2_downsample")(fuse12)
+        fuse123 = AFF(m * 4 * e, dtype=self.dtype, name="fuse123")(out3, d2, train)
         out4 = stage(out3, m * 8, self.num_blocks[3], 2, True, "layer4")
-        d3 = nn.Conv(m * 16, (3, 3), strides=(2, 2), padding=1, use_bias=False, dtype=self.dtype, name="layer3_downsample")(fuse123)
-        fuse1234 = AFF(m * 16, dtype=self.dtype, name="fuse1234")(out4, d3, train)
+        d3 = nn.Conv(m * 8 * e, (3, 3), strides=(2, 2), padding=1, use_bias=False, dtype=self.dtype, name="layer3_downsample")(fuse123)
+        fuse1234 = AFF(m * 8 * e, dtype=self.dtype, name="fuse1234")(out4, d3, train)
 
-        # (B, F/8, T/8, 16m) → (B, T/8, F/8·16m)
+        # (B, F/8, T/8, 8me) → (B, T/8, F/8·8me)
         Bx, F8, T8, C = fuse1234.shape
         frames = fuse1234.transpose(0, 2, 1, 3).reshape(Bx, T8, F8 * C)
         if mode == "frames":
             return frames
-        p = stats_pool_time(frames.astype(jnp.float32))
+        p = stats_pool_time(frames.astype(jnp.float32), unbiased=True)
+        return nn.Dense(self.embedding_size, dtype=self.dtype, name="seg_1")(p)
+
+
+class ERes2NetV2(nn.Module):
+    """ERes2NetV2 (reference egs/magicdata-ramc/ts_vad2/ERes2NetV2.py):
+    pruned global fusion — only stage-3→stage-4 AFF (layer3_ds + fuse34) —
+    with wider m_channels. The reference TS-VAD uses it as a speech encoder
+    via get_frame_level_feat (fuse34 frames, 12.5 Hz) and
+    get_frame_level_feat_frame_rate25 (stage-3 frames, 25 Hz) —
+    modes 'frames' and 'frames25' here."""
+
+    feat_dim: int = 80
+    embedding_size: int = 192
+    m_channels: int = 64
+    num_blocks: Sequence[int] = (3, 4, 6, 3)
+    base_width: int = 26
+    scale: int = 2
+    expansion: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mode: Literal["frames", "frames25", "embedding"] = "embedding"):
+        B, T, Fd = x.shape
+        m, e = self.m_channels, self.expansion
+        h = x.transpose(0, 2, 1)[..., None]
+        h = nn.Conv(m, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv1")(h)
+        h = relu20(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(h))
+
+        def stage(h, planes, n, stride, use_aff, name):
+            for bi in range(n):
+                h = ERes2NetBlock(
+                    planes, stride if bi == 0 else 1,
+                    base_width=self.base_width, scale=self.scale, expansion=e,
+                    use_aff=use_aff, dtype=self.dtype, name=f"{name}_{bi}",
+                )(h, train)
+            return h
+
+        out1 = stage(h, m, self.num_blocks[0], 1, False, "layer1")
+        out2 = stage(out1, m * 2, self.num_blocks[1], 2, False, "layer2")
+        out3 = stage(out2, m * 4, self.num_blocks[2], 2, True, "layer3")
+        if mode == "frames25":
+            Bx, F4, T4, C = out3.shape
+            return out3.transpose(0, 2, 1, 3).reshape(Bx, T4, F4 * C)
+        out4 = stage(out3, m * 8, self.num_blocks[3], 2, True, "layer4")
+        d3 = nn.Conv(m * 8 * e, (3, 3), strides=(2, 2), padding=1, use_bias=False, dtype=self.dtype, name="layer3_ds")(out3)
+        fuse34 = AFF(m * 8 * e, dtype=self.dtype, name="fuse34")(out4, d3, train)
+
+        Bx, F8, T8, C = fuse34.shape
+        frames = fuse34.transpose(0, 2, 1, 3).reshape(Bx, T8, F8 * C)
+        if mode == "frames":
+            return frames
+        p = stats_pool_time(frames.astype(jnp.float32), unbiased=True)
         return nn.Dense(self.embedding_size, dtype=self.dtype, name="seg_1")(p)

@@ -93,11 +93,18 @@ class SERes2Block(nn.Module):
         return x + h
 
 
-def stats_pool_time(x: jnp.ndarray) -> jnp.ndarray:
-    """TSTP: (B, T, C) → (B, 2C) mean‖std."""
+def stats_pool_time(x: jnp.ndarray, unbiased: bool = False, eps: float = 1e-10) -> jnp.ndarray:
+    """TSTP: (B, T, C) → (B, 2C) mean‖std.
+
+    unbiased=True matches torch.var's default (÷(T-1)) used by the
+    reference pooling layers (pooling_layers_3d_speaker.py:52, +1e-8)."""
+    T = x.shape[1]
     mean = jnp.mean(x, axis=1)
-    var = jnp.clip(jnp.mean(x * x, axis=1) - mean * mean, 1e-10, None)
-    return jnp.concatenate([mean, jnp.sqrt(var)], axis=-1)
+    var = jnp.clip(jnp.mean(x * x, axis=1) - mean * mean, 0.0, None)
+    if unbiased:
+        var = var * (T / max(T - 1, 1))
+        eps = 1e-8
+    return jnp.concatenate([mean, jnp.sqrt(var + eps)], axis=-1)
 
 
 class ASTP(nn.Module):

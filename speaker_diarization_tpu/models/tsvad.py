@@ -50,8 +50,13 @@ class TSVADConfig:
     d_state: int = 64  # mamba state size (reference mamba2 cfg)
     expand: int = 2
     # campplus | wavlm | wavlm_weight_sum | w2vbert | hubert | wav2vec2 | mms
-    # | resnet34 | simam_resnet34 | ecapa | redimnet_b*
+    # | resnet34 | simam_resnet34 | ecapa | eres2netv2 | redimnet_b*
     speech_encoder_type: str = "campplus"
+    # eres2netv2 trunk shape (reference ERes2NetV2_COMMON: 26/2/2;
+    # ERes2NetV2_w24s4ep4_COMMON: 24/4/4)
+    eres2net_base_width: int = 26
+    eres2net_scale: int = 2
+    eres2net_expansion: int = 2
     wavlm_layers: int = 12  # transformer layers used (reference select 6-12)
     wavlm_embed_dim: int = 768
     w2vbert_layers: int = 6  # reference best config uses the first 6 layers
@@ -219,6 +224,20 @@ class TSVADModel(nn.Module):
             # reference ecapa_channel_1024_wespeaker (model.py:632-655):
             # 100 Hz frames, stride-4 conv down to 25 Hz.
             self.speech_encoder = ECAPA_TDNN(channels=1024, feat_dim=c.feat_dim, dtype=self.dtype)
+        elif c.speech_encoder_type == "eres2netv2":
+            from .eres2net import ERes2NetV2
+
+            # reference ERes2NetV2_COMMON / _w24s4ep4_COMMON wiring at
+            # label_rate 25 (magicdata-ramc ts_vad2/model.py:586-615,1264):
+            # stage-3 frames (get_frame_level_feat_frame_rate25, already
+            # 25 Hz), stride-1 conv to speaker_embed_dim.
+            self.speech_encoder = ERes2NetV2(
+                feat_dim=c.feat_dim,
+                base_width=c.eres2net_base_width,
+                scale=c.eres2net_scale,
+                expansion=c.eres2net_expansion,
+                dtype=self.dtype,
+            )
         elif c.speech_encoder_type.startswith("redimnet"):
             from .redimnet import ReDimNet
 
@@ -230,6 +249,9 @@ class TSVADModel(nn.Module):
             raise ValueError(f"unknown speech_encoder_type: {c.speech_encoder_type}")
         if c.speech_encoder_type in ("resnet34", "simam_resnet34"):
             self.speech_down = SpeechFeatUpsample(c.speaker_embed_dim, upsample=2, dtype=self.dtype)
+        elif c.speech_encoder_type == "eres2netv2":
+            # already at the 25 Hz label rate — no down/up-sampling
+            self.speech_down = ConvBnRelu(c.speaker_embed_dim, kernel=5, stride=1, dtype=self.dtype)
         elif c.speech_encoder_type == "ecapa" or c.speech_encoder_type.startswith("redimnet"):
             self.speech_down = ConvBnRelu(c.speaker_embed_dim, kernel=5, stride=4, dtype=self.dtype)
         else:
@@ -318,7 +340,8 @@ class TSVADModel(nn.Module):
             else:
                 fbank = audio_or_fbank
             fbank = fbank.astype(self.dtype)
-            x = self.speech_encoder(fbank, train=train and not freeze_encoder, mode="frames")  # (B, T50, 512)
+            mode = "frames25" if c.speech_encoder_type == "eres2netv2" else "frames"
+            x = self.speech_encoder(fbank, train=train and not freeze_encoder, mode=mode)  # (B, T50, 512)
         if freeze_encoder:
             x = jax.lax.stop_gradient(x)
         x = self.speech_down(x, train=train)  # (B, T25, 192)

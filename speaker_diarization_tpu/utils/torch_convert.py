@@ -509,3 +509,106 @@ def load_campplus_checkpoint(path: str, prefix: str = "") -> Tuple[dict, dict]:
         sd = sd["state_dict"]
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
     return campplus_torch_to_flax(sd, prefix=prefix)
+
+
+def eres2net_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = "") -> Tuple[dict, dict]:
+    """Convert a reference ERes2Net / ERes2Net_huge / ERes2NetV2 state_dict
+    to (params, batch_stats) for models/eres2net.py.
+
+    Handles both topologies: the base GFF cascade
+    (layer{1,2,3}_downsample + fuse_mode{12,123,1234}, ERes2Net.py) and the
+    pruned V2 (layer3_ds + fuse34, ERes2NetV2.py). The TSTP stats vector is
+    ordered (part, channel, freq) in torch but (part, freq, channel) here
+    (frames are flattened freq-major), so seg_1 rows are permuted.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def conv_k(w):
+        w = _np(w)
+        return w.transpose(2, 3, 1, 0)
+
+    def put_aff(base: Tuple[str, ...], rest, w):
+        # local_att: 0=conv,1=bn,2=silu,3=conv,4=bn
+        idx, leaf = rest[0], rest[1]
+        if idx == "0":
+            _set(params, base + ("conv1", "kernel" if leaf == "weight" else "bias"),
+                 conv_k(w) if leaf == "weight" else _np(w))
+        elif idx == "1":
+            _map_bn(params, stats, base + ("bn1",), leaf, w)
+        elif idx == "3":
+            _set(params, base + ("conv2", "kernel" if leaf == "weight" else "bias"),
+                 conv_k(w) if leaf == "weight" else _np(w))
+        elif idx == "4":
+            _map_bn(params, stats, base + ("bn2",), leaf, w)
+
+    items = {}
+    for name, w in state_dict.items():
+        if prefix:
+            if not name.startswith(prefix):
+                continue
+            name = name[len(prefix):]
+        items[name] = w
+
+    # stats-channel count for the seg_1 permutation: conv3 of the last
+    # layer4 block (= m_channels·8·expansion)
+    n_channels = None
+    for name, w in items.items():
+        if re.match(r"layer4\.\d+\.conv3\.weight", name):
+            n_channels = _np(w).shape[0]
+
+    for name, w in items.items():
+        parts = name.split(".")
+        if parts[0] == "conv1":
+            _set(params, ("conv1", "kernel"), conv_k(w))
+        elif parts[0] == "bn1":
+            _map_bn(params, stats, ("bn1",), parts[1], w)
+        elif re.match(r"layer[1-4]$", parts[0]):
+            blk = f"{parts[0]}_{parts[1]}"
+            sub = parts[2]
+            if sub in ("conv1", "conv3"):
+                _set(params, (blk, sub, "kernel"), conv_k(w))
+            elif sub in ("bn1", "bn3"):
+                _map_bn(params, stats, (blk, sub), parts[3], w)
+            elif sub == "convs":
+                _set(params, (blk, f"conv_{parts[3]}", "kernel"), conv_k(w))
+            elif sub == "bns":
+                _map_bn(params, stats, (blk, f"bn_{parts[3]}"), parts[4], w)
+            elif sub == "fuse_models":
+                put_aff((blk, f"aff_{parts[3]}"), parts[5:], w)
+            elif sub == "shortcut":
+                if parts[3] == "0":
+                    _set(params, (blk, "shortcut_conv", "kernel"), conv_k(w))
+                else:
+                    _map_bn(params, stats, (blk, "shortcut_bn"), parts[4], w)
+        elif re.match(r"layer[1-3]_downsample", parts[0]) or parts[0] == "layer3_ds":
+            _set(params, (parts[0], "kernel"), conv_k(w))
+        elif parts[0].startswith("fuse_mode") or parts[0] == "fuse34":
+            flax_name = parts[0].replace("fuse_mode", "fuse")
+            put_aff((flax_name,), parts[2:], w)
+        elif parts[0] == "seg_1":
+            if parts[1] == "bias":
+                _set(params, ("seg_1", "bias"), _np(w))
+            else:
+                W = _np(w)  # (emb, 2·C·F)
+                CF = W.shape[1] // 2
+                C = n_channels
+                F8 = CF // C
+                perm = np.empty(2 * CF, np.int64)
+                for part in range(2):
+                    for f in range(F8):
+                        for c in range(C):
+                            perm[part * CF + f * C + c] = part * CF + c * F8 + f
+                _set(params, ("seg_1", "kernel"), W[:, perm].T)
+    return params, stats
+
+
+def load_eres2net_checkpoint(path: str, prefix: str = "") -> Tuple[dict, dict]:
+    """Load a torch ERes2Net(/V2/huge) checkpoint into (params, batch_stats)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return eres2net_torch_to_flax(sd, prefix=prefix)
