@@ -11,8 +11,11 @@
 # attractor family as a second point of comparison.
 set -euo pipefail
 
+#   stage 5  train TS-VAD with mamba2 (SSD) backends on the same data
+#   stage 6  mamba2 TS-VAD inference + threshold sweep + DER
+#
 stage=${1:-1}
-stop_stage=${2:-4}
+stop_stage=${2:-6}
 work=${WORK:-exp/hermetic_tsvad}
 rate=8000
 mels=80
@@ -62,4 +65,29 @@ if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
     --exp-dir "$work/eda" --out "$work/test_hyp_eda.rttm" \
     --threshold-sweep --ref "$work/test/data/rttm" \
     "${eda_cfg[@]}"
+fi
+
+# TS-VAD with mamba2 (chunked-matmul SSD) backends — the reference's
+# best-RAMC configuration (run_ts_vad2.sh:2521), exercising the
+# selective-scan path end-to-end on hardware.
+mamba_cfg=(--set sample_rate=$rate --set n_mels=$mels --set encoder_blocks=12,24,16
+  --set rs_len=4.0 --set single_backend_type=mamba2 --set multi_backend_type=mamba2
+  --set d_state=64 --set expand=2)
+
+if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
+  $cli train --family tsvad --train-dir "$work/train/data" --valid-dir "$work/valid/data" \
+    --exp-dir "$work/tsvad_mamba2" --emb-store "$work/train/embs.npz,$work/valid/embs.npz" \
+    --encoder-ckpt "$work/encoder.npz" --noise-dir "$work/noise" --resume \
+    "${mamba_cfg[@]}" \
+    --set segment_shift=2.0 --set batch_size=64 --set num_steps=4000 \
+    --set optimizer=adam --set schedule=poly --set learning_rate=2e-4 \
+    --set warmup_steps=400 --set bf16=true \
+    --set log_every=20 --set valid_every=500
+fi
+
+if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
+  $cli infer --family tsvad --data-dir "$work/test/data" --exp-dir "$work/tsvad_mamba2" \
+    --emb-store "$work/test/embs.npz" --out "$work/test_hyp_mamba2.rttm" \
+    --threshold-sweep --ref "$work/test/data/rttm" \
+    "${mamba_cfg[@]}"
 fi
