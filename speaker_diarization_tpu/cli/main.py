@@ -1075,7 +1075,14 @@ def cmd_infer(args) -> int:
             write_rttm(out_t, turns_t)
             if args.ref:
                 res = score_der(args.ref, out_t, collar=0.25)
-                print(f"threshold {th:.2f}: {res.summary()}")
+                extra = ""
+                if args.cder:
+                    # reference RAMC recipes sweep CDER alongside DER
+                    # (run_ts_vad2.sh:2570-2576, cder/score.py)
+                    from ..score.cder import score_cder
+
+                    extra = f"  CDER {score_cder(args.ref, out_t)['avg']:.3f}"
+                print(f"threshold {th:.2f}: {res.summary()}{extra}")
                 if best is None or res.der < best[1]:
                     best = (th, res.der, out_t)
         if best:
@@ -1159,6 +1166,7 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--emb-store")
     i.add_argument("--infer-shift", type=float, default=1.0)
     i.add_argument("--threshold-sweep", action="store_true", help="write RTTMs for thresholds 0.2..0.8")
+    i.add_argument("--cder", action="store_true", help="also report CDER in the threshold sweep")
     i.add_argument("--ref", help="reference RTTM for sweep scoring")
     i.add_argument("--avg-last", type=int, default=0, help="average the last K checkpoints")
     i.set_defaults(fn=cmd_infer)

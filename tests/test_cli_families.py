@@ -147,7 +147,7 @@ def test_tsvad_cli_train_infer_sweep(corpus, tmp_path):
     out = str(tmp_path / "hyp.rttm")
     assert main([
         "infer", "--family", "tsvad", "--data-dir", data_dir, "--exp-dir", exp,
-        "--emb-store", embs, "--out", out, "--threshold-sweep",
+        "--emb-store", embs, "--out", out, "--threshold-sweep", "--cder",
         "--ref", os.path.join(data_dir, "rttm"),
         "--set", "sample_rate=8000", "--set", "n_mels=40", "--set", "encoder_blocks=1,1",
         "--set", "rs_len=2.0", "--set", "d_ff=64", "--set", "n_layers=1",
