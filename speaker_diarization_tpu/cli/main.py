@@ -947,10 +947,13 @@ def cmd_infer(args) -> int:
         fs = 1.0 / 25
         rec_speakers = ds.rec_speakers  # real speaker names in the RTTM
     elif cfg.family == "tsvad_streaming":
-        # chunk-by-chunk streaming decode through the per-layer KV ring
-        # caches (reference ts_vad2_streaming/model.py:368 forward_chunk_by_chunk)
+        # windowed chunk-by-chunk streaming decode through the per-layer KV
+        # caches, overlap-voted like offline TS-VAD (reference
+        # run_ts_vad2_streaming.sh decoding_chunk_size + infer windows,
+        # ts_vad2_streaming/model.py:368 forward_chunk_by_chunk)
         from ..data.tsvad_dataset import TSVADChunkDataset
-        from ..infer.chunked import streaming_tsvad_infer_dataset
+        from ..infer import tsvad_infer_dataset
+        from ..infer.chunked import make_streaming_window_predict
         from ..infer.embeddings import EmbeddingStore
 
         store = EmbeddingStore.load(args.emb_store)
@@ -958,23 +961,9 @@ def cmd_infer(args) -> int:
             args.data_dir, store, rs_len=cfg.rs_len, segment_shift=args.infer_shift,
             rate=cfg.sample_rate, is_train=False,
         )
-
-        @jax.jit
-        def encode(a):
-            return model.apply(params, a, method=model.encode_frames)
-
-        @jax.jit
-        def step(mix_chunk, embs, st):
-            return model.apply(params, mix_chunk, embs, st, method=model.streaming_step_mix)
-
-        def init_state():
-            return model.apply(params, 1, method=model.streaming_state)
-
-        probs = streaming_tsvad_infer_dataset(
-            lambda a: encode(jnp.asarray(a)),
-            lambda m, e, st: step(jnp.asarray(m), jnp.asarray(e), st),
-            init_state, ds, chunk_size=model.cfg.chunk_size,
-        )
+        T = int(cfg.rs_len * 25)
+        predict = make_streaming_window_predict(model, params, T)
+        probs = tsvad_infer_dataset(lambda a, e: predict(jnp.asarray(a), jnp.asarray(e)), ds)
         fs = 1.0 / 25
         rec_speakers = ds.rec_speakers
     elif cfg.family == "eend_m2f":

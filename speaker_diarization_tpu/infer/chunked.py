@@ -142,57 +142,44 @@ def infer_dataset(
     return out
 
 
-def streaming_tsvad_infer_dataset(
-    encode_fn: Callable[[np.ndarray], np.ndarray],
-    step_fn: Callable[[np.ndarray, np.ndarray, dict], Tuple[np.ndarray, dict]],
-    init_state_fn: Callable[[], dict],
-    dataset,
-    chunk_size: int,
-    pad_block_s: float = 40.0,
-) -> Dict[str, np.ndarray]:
-    """Chunk-by-chunk streaming TS-VAD decode over every recording.
+def make_streaming_window_predict(model, variables, n_label_frames: int):
+    """Window-wise streaming TS-VAD predictor for `tsvad_infer_dataset`.
 
-    Reference: ts_vad2_streaming/model.py:368-462 `forward_chunk_by_chunk` —
-    the whole recording is decoded left-to-right through the per-layer KV
-    ring caches, one attention chunk at a time.
+    Reference streaming inference (run_ts_vad2_streaming.sh:70-128 +
+    ts_vad2_streaming/model.py:368-462): the recording is cut into the same
+    overlapped rs_len windows as offline TS-VAD; each window is decoded
+    chunk-by-chunk through the per-layer KV caches from a FRESH state
+    (decoding_chunk_size frames at a time), and window probabilities are
+    overlap-voted. Decoding whole recordings in one cache pass would push
+    the absolute positional encoding far beyond the trained window length.
 
-    encode_fn: audio (1, N) → 25 Hz mix features (1, T, D) (the conv
-    front-end is run once over the full recording, so the streaming output
-    equals the offline chunk-masked forward exactly);
-    step_fn: (mix_chunk (1, chunk, D), embs (1, S, Dspk), state) →
-    (logits (1, chunk, S), state); init_state_fn: fresh per-recording state.
-    `dataset` is a TSVADChunkDataset(is_train=False) used for the corpus
-    wiring (recordings, canonical speaker order, mean target embeddings).
-    Audio is zero-padded to a multiple of pad_block_s to bound the number
-    of distinct compiled shapes. Returns {rec: (T25, S_rec) probs}.
+    TPU-first shape: the chunk loop is a `lax.scan` inside ONE jitted call
+    per window batch — not a Python loop of per-chunk dispatches (which a
+    high-latency link turns into the bottleneck).
+
+    Returns predict_fn: (audio (B, N), embs (B, S, D)) → probs (B, T25, S).
     """
-    lr = dataset.label_rate
-    S = dataset.max_speakers if hasattr(dataset, "max_speakers") else 4
-    out: Dict[str, np.ndarray] = {}
-    for rec in sorted(dataset.rec_speakers):
-        audio, rate = dataset.kd.load_wav(rec)
-        assert rate == dataset.rate, (rate, dataset.rate)
-        if audio.ndim > 1:
-            audio = audio[:, 0]
-        n_frames = int(len(audio) / rate * lr)
-        block = int(pad_block_s * rate)
-        padded = int(np.ceil(max(len(audio), 1) / block) * block)
-        audio = np.pad(audio.astype(np.float32), (0, padded - len(audio)))
+    import jax
+    import jax.numpy as jnp
 
-        speakers = list(dataset.rec_speakers[rec])
-        embs = np.zeros((1, S, dataset.embs.dim), np.float32)
-        for i, spk in enumerate(speakers[:S]):
-            embs[0, i] = dataset._target_embedding(rec, spk)
+    chunk = model.cfg.chunk_size
+    n_chunks = -(-n_label_frames // chunk)
+    t_pad = n_chunks * chunk
 
-        mix = np.asarray(encode_fn(audio[None]))  # (1, T, D)
-        T = mix.shape[1]
-        n_chunks = int(np.ceil(T / chunk_size))
-        mix = np.pad(mix, ((0, 0), (0, n_chunks * chunk_size - T), (0, 0)))
-        state = init_state_fn()
-        probs = []
-        for ci in range(n_chunks):
-            logits, state = step_fn(mix[:, ci * chunk_size : (ci + 1) * chunk_size], embs, state)
-            probs.append(1.0 / (1.0 + np.exp(-np.asarray(logits)[0])))
-        p = np.concatenate(probs, axis=0)[:n_frames]
-        out[rec] = p[:, : len(speakers)].astype(np.float32)
-    return out
+    @jax.jit
+    def predict(audio, embs):
+        mix = model.apply(variables, audio, method=model.encode_frames)[:, :n_label_frames]
+        B, T, D = mix.shape
+        mix = jnp.pad(mix, ((0, 0), (0, t_pad - T), (0, 0)))
+        chunks = mix.reshape(B, n_chunks, chunk, D).transpose(1, 0, 2, 3)
+        state = model.apply(variables, B, method=model.streaming_state)
+
+        def step(st, ch):
+            logits, st2 = model.apply(variables, ch, embs, st, method=model.streaming_step_mix)
+            return st2, logits
+
+        _, out = jax.lax.scan(step, state, chunks)  # (n_chunks, B, chunk, S)
+        out = out.transpose(1, 0, 2, 3).reshape(B, t_pad, -1)[:, :n_label_frames]
+        return jax.nn.sigmoid(out)
+
+    return predict

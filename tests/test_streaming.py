@@ -124,84 +124,18 @@ class TestStreamingEquivalence:
 
 
 class TestStreamingInferHelper:
-    def test_helper_matches_offline_forward(self, model_and_vars, tmp_path):
-        """infer.chunked.streaming_tsvad_infer_dataset == sigmoid of the
-        offline chunk-masked forward on the whole recording (the CLI
-        `infer --family tsvad_streaming` path)."""
-        from speaker_diarization_tpu.data.wav import write_wav
-        from speaker_diarization_tpu.infer.chunked import streaming_tsvad_infer_dataset
-        from speaker_diarization_tpu.infer.embeddings import EmbeddingStore
+    def test_window_predict_matches_offline_forward(self, model_and_vars):
+        """infer.chunked.make_streaming_window_predict == sigmoid of the
+        offline chunk-masked __call__ on the same rs_len window (the CLI
+        `infer --family tsvad_streaming` predictor; fresh caches per
+        window, reference forward_chunk_by_chunk semantics)."""
+        from speaker_diarization_tpu.infer.chunked import make_streaming_window_predict
 
         model, variables, audio, embs, B, T = model_and_vars
-        rng = np.random.default_rng(3)
-        dur_s = 10.0
-        wav = (rng.standard_normal(int(dur_s * 16000)) * 0.1).astype(np.float32)
-        path = str(tmp_path / "rec1.wav")
-        write_wav(path, wav, 16000)
+        predict = make_streaming_window_predict(model, variables, T)
+        p = np.asarray(predict(audio, embs))
+        assert p.shape == (B, T, CFG.max_num_speaker)
 
-        store = EmbeddingStore()
-        spk_names = ["alice", "bob"]
-        for i, s in enumerate(spk_names):
-            store.put("rec1", s, np.asarray(embs)[0, i][None])
-
-        class StubKD:
-            wavs = {"rec1": path}
-
-            @staticmethod
-            def load_wav(rec, *a):
-                return wav, 16000
-
-        class StubDS:
-            kd = StubKD()
-            rate = 16000
-            label_rate = 25
-            max_speakers = CFG.max_num_speaker
-            rec_speakers = {"rec1": spk_names}
-            embs = store
-
-            def _target_embedding(self, rec, spk):
-                return store.get(rec, spk)[0]
-
-        full_embs = np.zeros((1, CFG.max_num_speaker, CFG.speaker_embed_dim), np.float32)
-        for i, s in enumerate(spk_names):
-            full_embs[0, i] = store.get("rec1", s)[0]
-
-        def encode(a):
-            return model.apply(variables, jnp.asarray(a), method=model.encode_frames)
-
-        def step(m, e, st):
-            return model.apply(
-                variables, jnp.asarray(m), jnp.asarray(e), st, method=model.streaming_step_mix
-            )
-
-        def init_state():
-            return model.apply(variables, 1, method=model.streaming_state)
-
-        probs = streaming_tsvad_infer_dataset(
-            encode, step, init_state, StubDS(), chunk_size=CFG.chunk_size, pad_block_s=4.0
-        )
-        assert set(probs) == {"rec1"}
-        p = probs["rec1"]
-        n_frames = int(dur_s * 25)
-        assert p.shape == (n_frames, len(spk_names))
-
-        # offline oracle: chunk-masked backends on the same padded features
-        padded = np.pad(wav, (0, int(np.ceil(len(wav) / (4.0 * 16000)) * 4.0 * 16000) - len(wav)))
-        mix = encode(padded[None])
-        Tm = mix.shape[1]
-        n_chunks = -(-Tm // CFG.chunk_size)
-        mix = jnp.pad(mix, ((0, 0), (0, n_chunks * CFG.chunk_size - Tm), (0, 0)))
-
-        def offline(mdl, mix):
-            cat = mdl._fuse(mix, jnp.asarray(full_embs), False)
-            Bx, S, Tx, D = cat.shape
-            x = cat.reshape(Bx * S, Tx, D)
-            x = mdl.single_backend(x, chunk_size=CFG.chunk_size, num_left_chunks=CFG.num_left_chunks)
-            x = x.reshape(Bx, S, Tx, D).transpose(0, 2, 1, 3).reshape(Bx, Tx, S * D)
-            x = mdl.backend_down(x)
-            x = mdl.multi_backend(x, chunk_size=CFG.chunk_size, num_left_chunks=CFG.num_left_chunks)
-            return mdl.fc(x).astype(jnp.float32)
-
-        logits = model.apply(variables, mix, method=offline)
-        ref = 1.0 / (1.0 + np.exp(-np.asarray(logits)[0, :n_frames, : len(spk_names)]))
+        logits = model.apply(variables, audio, embs, T, False)
+        ref = 1.0 / (1.0 + np.exp(-np.asarray(logits)))
         np.testing.assert_allclose(p, ref, atol=2e-4)
