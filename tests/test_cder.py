@@ -6,6 +6,8 @@ import pytest
 from speaker_diarization_tpu.data.rttm import Turn
 from speaker_diarization_tpu.score.cder import cder_file, score_cder
 
+pytestmark = pytest.mark.quick
+
 
 def T(rec, s, d, spk):
     return Turn(rec, s, d, spk)

@@ -17,6 +17,8 @@ from speaker_diarization_tpu.data.rttm import Turn, read_rttm_by_rec, turns_from
 from speaker_diarization_tpu.score import score_der
 from speaker_diarization_tpu.score.der import score_file
 
+pytestmark = pytest.mark.quick
+
 FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 
 

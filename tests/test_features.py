@@ -13,6 +13,8 @@ from transformers import audio_utils as au
 
 from speaker_diarization_tpu.ops import features as F
 
+pytestmark = pytest.mark.quick
+
 
 def _rand_audio(n, seed=0, sr=8000):
     rng = np.random.default_rng(seed)

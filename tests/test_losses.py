@@ -7,6 +7,8 @@ import pytest
 from speaker_diarization_tpu.ops import losses as L
 from speaker_diarization_tpu.ops import metrics as M
 
+pytestmark = pytest.mark.quick
+
 
 def _case(B=3, T=20, C=3, seed=0):
     rng = np.random.default_rng(seed)

@@ -13,6 +13,8 @@ from speaker_diarization_tpu.models.transformer import (
     make_chunk_mask,
 )
 
+pytestmark = pytest.mark.quick
+
 TINY = dict(d_model=32, n_layers=2, n_heads=2, d_ff=64, dropout=0.0)
 FE = FrontendConfig()
 
