@@ -49,6 +49,14 @@ class TrainerConfig:
     grad_accum_steps: int = 1
     model_avg_decay: Optional[float] = None  # e.g. 0.999; None disables
     seed: int = 0
+    # Bitwise-reproducible data parallelism: compute per-shard gradients under
+    # shard_map, then all_gather + fixed-order local sum instead of relying on
+    # XLA's psum reduction tree (whose floating-point order varies with the
+    # process topology — 2 procs × 2 devices vs 1 proc × 4 devices differ at
+    # ~1 ulp). With this on, an N-process run is bitwise-identical to a
+    # single-process run over the same global mesh (SURVEY §7 contract).
+    # Requires has_mutable=False and a pure per-sample-mean loss.
+    deterministic_reduce: bool = False
 
 
 class AutoClipState(flax.struct.PyTreeNode):
@@ -197,6 +205,8 @@ class Trainer:
             (loss, (aux, new_mutable)), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 state.params, state.mutable, batch, step_rng, True
             )
+        elif self.cfg.deterministic_reduce and self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+            loss, aux, grads = self._deterministic_value_and_grad(state.params, batch, step_rng)
         else:
             (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 state.params, batch, step_rng, True
@@ -224,6 +234,42 @@ class Trainer:
             ),
             aux,
         )
+
+    def _deterministic_value_and_grad(self, params, batch, step_rng):
+        """Topology-independent grad reduction (cfg.deterministic_reduce).
+
+        Each data shard computes its local loss/grads; the cross-device
+        reduction is an explicit all_gather followed by a fixed-order local
+        mean, so the floating-point summation order is identical however the
+        global mesh is split across processes.
+        """
+        from jax.experimental.shard_map import shard_map
+
+        n_data = self.mesh.shape["data"]
+
+        def local_step(params, batch):
+            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, batch, step_rng, True
+            )
+            gathered = jax.lax.all_gather((loss, aux, grads), "data")
+
+            def fixed_order_mean(x):
+                acc = x[0]
+                for i in range(1, n_data):
+                    acc = acc + x[i]
+                return acc / n_data
+
+            return jax.tree_util.tree_map(fixed_order_mean, gathered)
+
+        batch_specs = jax.tree_util.tree_map(lambda _: P("data"), batch)
+        param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+        return shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(param_specs, batch_specs),
+            out_specs=P(),
+            check_rep=False,
+        )(params, batch)
 
     def _eval_step_impl(self, params, mutable, batch):
         if self.has_mutable:

@@ -1,8 +1,8 @@
 """Worker for the multi-process (multi-host) distributed test.
 
-Run as: python multihost_worker.py <process_id> <num_processes> <port> <out.npz>
+Run as: python multihost_worker.py <process_id> <num_processes> <port> <out.npz> [local_devices]
 
-Each process gets 2 virtual CPU devices and joins the jax.distributed
+Each process gets `local_devices` (default 2) virtual CPU devices and joins the jax.distributed
 coordination service — the same `jax.distributed.initialize` path real
 multi-host TPU slices use for DCN rendezvous (the TPU-native analogue of
 the reference's NCCL MASTER_ADDR/PORT setup, dist.py:24-42). The global
@@ -15,16 +15,18 @@ import sys
 
 def main():
     pid, nproc, port, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    local_devices = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 
     import jax
 
     # a sitecustomize pins JAX_PLATFORMS to the remote-TPU plugin; override
     # through jax.config before the backend initializes (see tests/conftest.py)
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 2)
-    jax.distributed.initialize(
-        coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
-    )
+    jax.config.update("jax_num_cpu_devices", local_devices)
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+        )
 
     import numpy as np
     import jax.numpy as jnp
@@ -36,8 +38,9 @@ def main():
     from speaker_diarization_tpu.train.tasks import make_eend_loss
 
     assert jax.process_count() == nproc
-    assert len(jax.devices()) == 2 * nproc
-    mesh = make_mesh(n_data=2 * nproc, n_model=1)
+    n_global = nproc * local_devices
+    assert len(jax.devices()) == n_global
+    mesh = make_mesh(n_data=n_global, n_model=1)
 
     model = EENDModel(n_speakers=2, d_model=32, n_layers=1, n_heads=2, d_ff=64, dropout=0.0, frontend=None)
     B_global, T, F = 8, 50, 345  # fixed global batch; feature dim = spliced frontend
@@ -56,7 +59,10 @@ def main():
     loss_fn = make_eend_loss(model)
     trainer = Trainer(
         loss_fn,
-        TrainerConfig(optimizer="adam", schedule="const", learning_rate=1e-3, seed=0),
+        TrainerConfig(
+            optimizer="adam", schedule="const", learning_rate=1e-3, seed=0,
+            deterministic_reduce=True,
+        ),
         mesh=mesh,
     )
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(global_batch(0)["audio"][:1]))

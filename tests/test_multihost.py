@@ -8,8 +8,9 @@ devices of one global 4-device mesh. Asserts:
 
 - both processes converge to bitwise-identical parameters (grad psum
   across process boundaries works);
-- the result matches a single-process 4-device run on the same global
-  batches (multi-host == single-host semantics).
+- the result is bitwise-identical to a single-process run over the SAME
+  4-device global mesh on the same global batches (multi-host ==
+  single-host semantics; SURVEY §7 minimum-slice contract).
 """
 
 import os
@@ -56,15 +57,17 @@ def test_two_process_training_matches_single_process(tmp_path):
     for k in a.files:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
-    # single-process 4-device baseline on the same global batches
+    # single-process baseline over the SAME 4-device global mesh
+    # (1 process × 4 local devices) on the same global batches
     single = str(tmp_path / "single.npz")
     p = subprocess.run(
-        [sys.executable, WORKER, "0", "1", str(_free_port()), single],
+        [sys.executable, WORKER, "0", "1", str(_free_port()), single, "4"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, timeout=600,
     )
-    # note: nproc=1 → 2 devices; instead run with the mesh the workers used
     assert p.returncode == 0, p.stdout
     s = np.load(single)
-    # loss trajectories agree closely (reduction orders may differ slightly
-    # between 2-device and 4-device topologies)
-    np.testing.assert_allclose(a["losses"], s["losses"], rtol=0, atol=5e-4)
+    # identical mesh topology + identical global batches ⇒ the multi-process
+    # run must be bitwise-identical to the single-process run
+    np.testing.assert_array_equal(a["losses"], s["losses"])
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], s[k], err_msg=k)
