@@ -50,8 +50,17 @@ class TSVADConfig:
     d_state: int = 64  # mamba state size (reference mamba2 cfg)
     expand: int = 2
     # campplus | wavlm | wavlm_weight_sum | w2vbert | hubert | wav2vec2 | mms
-    # | resnet34 | simam_resnet34 | ecapa | eres2netv2 | redimnet_b*
+    # | whisper | resnet34 | simam_resnet34 | ecapa | eres2netv2 | redimnet_b*
     speech_encoder_type: str = "campplus"
+    # whisper-as-speech-encoder (reference ts_vad2/model.py:556-580 +
+    # whisper_encoder.py ModelDimensions: large-v2 trunk, blocks 16-23
+    # concatenated → 50 Hz features → conv stride 2 down to 25 Hz)
+    whisper_d_model: int = 1280
+    whisper_n_layers: int = 32
+    whisper_n_heads: int = 20
+    whisper_n_mels: int = 80
+    whisper_layer_st: int = 16
+    whisper_layer_ed: int = 23
     # eres2netv2 trunk shape (reference ERes2NetV2_COMMON: 26/2/2;
     # ERes2NetV2_w24s4ep4_COMMON: 24/4/4)
     eres2net_base_width: int = 26
@@ -208,6 +217,24 @@ class TSVADModel(nn.Module):
                 ),
                 dtype=self.dtype,
             )
+        elif c.speech_encoder_type == "whisper":
+            from .whisper_encoder import WhisperEncoder, WhisperEncoderConfig
+
+            # reference model.py:556-580: whisper runs its own log-mel front
+            # end at 50 Hz output; blocks layer_st..layer_ed concatenated
+            # (d_model·n_collected wide), then conv stride 2 → 25 Hz below.
+            self.speech_encoder = WhisperEncoder(
+                cfg=WhisperEncoderConfig(
+                    n_mels=c.whisper_n_mels,
+                    d_model=c.whisper_d_model,
+                    n_heads=c.whisper_n_heads,
+                    n_layers=c.whisper_n_layers,
+                    d_ff=4 * c.whisper_d_model,
+                ),
+                layer_st=c.whisper_layer_st,
+                layer_ed=c.whisper_layer_ed,
+                dtype=self.dtype,
+            )
         elif c.speech_encoder_type in ("resnet34", "simam_resnet34"):
             from .speaker_encoders import ResNet34, SimAMResNet34
 
@@ -326,6 +353,10 @@ class TSVADModel(nn.Module):
             x = jnp.einsum("l,lbtd->btd", w, stacked)
         elif c.speech_encoder_type in ("wavlm", "hubert", "wav2vec2", "mms"):
             x = self.speech_encoder.extract_features(audio_or_fbank)  # (B, T50, 768)
+        elif c.speech_encoder_type == "whisper":
+            # raw audio (B, N) → whisper log-mel inside the encoder → 50 Hz
+            # concat features (B, T50, d_model·n_collected)
+            x = self.speech_encoder(audio_or_fbank)
         elif c.speech_encoder_type == "w2vbert":
             from .w2vbert import fbank_to_w2vbert_features
 

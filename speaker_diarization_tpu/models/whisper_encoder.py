@@ -79,12 +79,24 @@ class WhisperEncoderBlock(nn.Module):
 
 
 class WhisperEncoder(nn.Module):
+    """When layer_st/layer_ed are set, returns the reference's multi-layer
+    feature: hidden states of blocks layer_st..layer_ed (inclusive, the
+    OUTPUT of each block as in ts_vad2/whisper_encoder.py:236-240)
+    concatenated along features and
+    LayerNorm'd (ln_post2) — output dim d_model·(layer_ed-layer_st+1).
+    Set layer_concat_ln=False to skip ln_post2 (parity testing vs HF
+    hidden_states)."""
+
     cfg: WhisperEncoderConfig = WhisperEncoderConfig()
+    layer_st: int = -1  # first block whose hidden state is collected
+    layer_ed: int = -1  # last block (inclusive); both -1 → plain final output
+    layer_concat_ln: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, mel_or_audio):
-        """mel (B, T100, n_mels) or audio (B, N) → (B, T50, d_model)."""
+        """mel (B, T100, n_mels) or audio (B, N) → (B, T50, d_model)
+        — or (B, T50, d_model·n_collected) in layer-concat mode."""
         c = self.cfg
         if mel_or_audio.ndim == 2:
             mel = whisper_log_mel(mel_or_audio, c.n_mels)
@@ -101,6 +113,17 @@ class WhisperEncoder(nn.Module):
             lambda k: jnp.asarray(sinusoidal_position_encoding(c.n_ctx, c.d_model)),
         )
         h = h + pe[None, : h.shape[1]].astype(h.dtype)
+        collect = self.layer_st >= 0 and self.layer_ed >= self.layer_st
+        collected = []
         for i in range(c.n_layers):
             h = WhisperEncoderBlock(c, dtype=self.dtype, name=f"block_{i}")(h)
+            if collect and self.layer_st <= i <= self.layer_ed:
+                collected.append(h)  # output of block i
+        if collect:
+            if self.layer_ed >= c.n_layers:
+                raise ValueError(f"layer_ed {self.layer_ed} >= n_layers {c.n_layers}")
+            cat = jnp.concatenate(collected, axis=-1)
+            if self.layer_concat_ln:
+                cat = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post2")(cat)
+            return cat
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(h)

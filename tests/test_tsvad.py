@@ -229,3 +229,36 @@ class TestSSLEncoderTypes:
         assert not any("relative_attention_bias" in k or "grep" in k for k in keys)
         logits = model.apply(variables, audio, embs, secs * 25)
         assert logits.shape == (B, secs * 25, 4)
+
+
+class TestTSVADWhisperEncoder:
+    """speech_encoder_type='whisper' (reference ts_vad2/model.py:556-580):
+    whisper log-mel → encoder blocks layer_st..layer_ed concat @50 Hz →
+    conv stride 2 + BN + ReLU → 25 Hz mix embeddings."""
+
+    def test_forward_shapes(self):
+        cfg = TSVADConfig(
+            max_num_speaker=4,
+            speaker_embed_dim=192,
+            transformer_embed_dim=384,
+            transformer_ffn_embed_dim=256,
+            num_transformer_layer=1,
+            dropout=0.0,
+            speech_encoder_type="whisper",
+            whisper_d_model=64,
+            whisper_n_layers=4,
+            whisper_n_heads=4,
+            whisper_n_mels=80,
+            whisper_layer_st=1,
+            whisper_layer_ed=2,
+        )
+        model = TSVADModel(cfg=cfg)
+        B, secs = 2, 2
+        audio = jnp.asarray(_rand_audio(B * secs * 16000).reshape(B, -1))
+        embs = jnp.asarray(np.random.default_rng(0).standard_normal((B, 4, 192)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), audio, embs, secs * 25)
+        # layer-concat param exists with the concat width
+        assert variables["params"]["speech_encoder"]["ln_post2"]["scale"].shape == (64 * 2,)
+        logits = model.apply(variables, audio, embs, secs * 25)
+        assert logits.shape == (B, secs * 25, 4)
+        assert np.isfinite(np.asarray(logits)).all()
