@@ -110,6 +110,21 @@ def _frontend_from_cfg(cfg: TrainCliConfig):
 
 
 
+def _normalize_cfg(cfg: TrainCliConfig) -> TrainCliConfig:
+    """Per-family invariants applied after --set overrides.
+
+    eend_m2f: the ×10 subsampling lives in the conv backbone
+    (reference backbone.py:7) and masks are scored at the input frame rate,
+    so the frontend/dataset must run unsubsampled and unspliced.
+    """
+    if cfg.family == "eend_m2f" and (cfg.subsampling != 1 or cfg.context_size != 0):
+        import logging
+
+        logging.info("eend_m2f: forcing subsampling=1 context_size=0 (backbone does the x10)")
+        cfg = dataclasses.replace(cfg, subsampling=1, context_size=0)
+    return cfg
+
+
 def _blocks_override(cfg: TrainCliConfig, default: tuple) -> tuple:
     if not cfg.encoder_blocks:
         return default
@@ -133,7 +148,8 @@ def _build_model(cfg: TrainCliConfig):
 
         return EendEdaModel(
             n_speakers=cfg.n_speakers, max_attractors=cfg.max_attractors,
-            encoder_type=cfg.encoder_type, frontend=_frontend_from_cfg(cfg), **common,
+            encoder_type=cfg.encoder_type, conv_norm="group",
+            frontend=_frontend_from_cfg(cfg), **common,
         )
     if cfg.family == "fs_eend":
         from ..models.fs_eend import FSEENDModel
@@ -219,15 +235,21 @@ def _build_model(cfg: TrainCliConfig):
             dtype=dtype,
         )
     if cfg.family == "eend_m2f":
+        import dataclasses
+
         from ..models.eend_m2f import EENDM2FModel, M2FConfig
 
+        # the ×10 subsampling lives in the conv backbone (backbone.py:7), so
+        # the frontend must emit unsubsampled, unspliced frames; masks are
+        # scored back at this frame rate by the pixel decoder.
+        fe = dataclasses.replace(_frontend_from_cfg(cfg), subsampling=1, context_size=0)
         return EENDM2FModel(
             cfg=M2FConfig(
                 num_queries=max(cfg.n_speakers * 2, 8), d_model=cfg.d_model,
                 n_heads=cfg.n_heads, d_ff=cfg.d_ff, enc_layers=cfg.n_layers,
                 dec_layers=max(cfg.n_layers // 2, 1), dropout=cfg.dropout,
             ),
-            frontend=_frontend_from_cfg(cfg),
+            frontend=fe,
             dtype=dtype,
         )
     if cfg.family == "spk":
@@ -291,6 +313,7 @@ def cmd_train(args) -> int:
         cfg = dataclasses.replace(cfg, family=args.family)
     if args.set:
         cfg = apply_overrides(cfg, args.set)
+    cfg = _normalize_cfg(cfg)
 
     import jax
     import jax.numpy as jnp
@@ -853,6 +876,7 @@ def cmd_infer(args) -> int:
         cfg = dataclasses.replace(cfg, family=args.family)
     if args.set:
         cfg = apply_overrides(cfg, args.set)
+    cfg = _normalize_cfg(cfg)
 
     model = _build_model(cfg)
     from ..train import Trainer, TrainerConfig

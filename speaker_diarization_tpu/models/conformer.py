@@ -15,8 +15,15 @@ from .transformer import sinusoidal_position_encoding
 
 
 class ConformerConvModule(nn.Module):
+    """conv_norm='batch' mirrors torchaudio's BatchNorm1d (stateful:
+    batch_stats collection, trainer needs has_mutable). conv_norm='group'
+    is the stateless GroupNorm alternative — identical train/eval graphs,
+    no mutable collections, the right choice for loss paths without
+    batch_stats plumbing."""
+
     kernel_size: int = 15
     dropout: float = 0.1
+    conv_norm: str = "batch"  # batch | group
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -28,7 +35,10 @@ class ConformerConvModule(nn.Module):
         h = a * nn.sigmoid(b)  # GLU
         pad = (self.kernel_size - 1) // 2
         h = nn.Conv(d, (self.kernel_size,), padding=[(pad, pad)], feature_group_count=d, dtype=self.dtype, name="dw")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn")(h)
+        if self.conv_norm == "batch":
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn")(h)
+        else:
+            h = nn.GroupNorm(num_groups=1, dtype=self.dtype, name="gn")(h)
         h = h * nn.sigmoid(h)  # swish
         h = nn.Dense(d, dtype=self.dtype, name="pw2")(h)
         return nn.Dropout(self.dropout)(h, deterministic=not train)
@@ -39,6 +49,7 @@ class ConformerBlock(nn.Module):
     d_ff: int = 1024
     conv_kernel: int = 15
     dropout: float = 0.1
+    conv_norm: str = "batch"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -59,7 +70,7 @@ class ConformerBlock(nn.Module):
             num_heads=self.n_heads, dropout_rate=self.dropout, dtype=self.dtype, name="mhsa"
         )(h, h, mask=mask, deterministic=not train)
         x = x + nn.Dropout(self.dropout)(h, deterministic=not train)
-        x = x + ConformerConvModule(self.conv_kernel, self.dropout, self.dtype, name="conv")(x, train)
+        x = x + ConformerConvModule(self.conv_kernel, self.dropout, self.conv_norm, self.dtype, name="conv")(x, train)
         x = x + 0.5 * ff(x, "ff2")
         return nn.LayerNorm(dtype=self.dtype, name="final_ln")(x)
 
@@ -71,6 +82,7 @@ class ConformerEncoder(nn.Module):
     d_ff: int = 1024
     conv_kernel: int = 15
     dropout: float = 0.1
+    conv_norm: str = "batch"
     has_pos: bool = True
     max_len: int = 8192
     dtype: jnp.dtype = jnp.float32
@@ -87,7 +99,7 @@ class ConformerEncoder(nn.Module):
         for i in range(self.n_layers):
             h = ConformerBlock(
                 n_heads=self.n_heads, d_ff=self.d_ff, conv_kernel=self.conv_kernel,
-                dropout=self.dropout, dtype=self.dtype, name=f"block_{i}",
+                dropout=self.dropout, conv_norm=self.conv_norm, dtype=self.dtype, name=f"block_{i}",
             )(h, mask, train)
         if frame_mask is not None:
             h = h * frame_mask[..., None].astype(h.dtype)

@@ -78,6 +78,9 @@ class EendEdaModel(nn.Module):
     # transformer | conformer (reference eend_eda/models.py:495-504
     # encoder_type selects torchaudio Conformer)
     encoder_type: str = "transformer"
+    # conformer conv-module norm: 'batch' (torchaudio parity, needs a
+    # mutable-aware trainer) or 'group' (stateless; what the CLI uses)
+    conv_norm: str = "batch"
     frontend: Optional[FrontendConfig] = FrontendConfig()
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -92,6 +95,7 @@ class EendEdaModel(nn.Module):
                 n_heads=self.n_heads,
                 d_ff=self.d_ff,
                 dropout=self.dropout,
+                conv_norm=self.conv_norm,
                 dtype=self.dtype,
             )
         elif self.encoder_type == "transformer":

@@ -45,6 +45,59 @@ class M2FConfig:
     mask_weight: float = 5.0
     dice_weight: float = 5.0
     no_object_weight: float = 0.1
+    # True backbone (reference backbone.py:7 + pixel_decoder.py:3): the
+    # encoder runs at ×10 subsampled rate behind a depthwise-separable conv
+    # (k15 s10), and a 2-stage transposed-conv pixel decoder (×2 then ×5)
+    # upsamples back to frame rate where masks are scored. use_backbone=False
+    # keeps the flat encoder-at-frame-rate variant.
+    use_backbone: bool = True
+    subsample: int = 10
+    encoder_type: str = "conformer"  # conformer (reference) | transformer
+    conv_kernel: int = 49  # conformer depthwise kernel (reference backbone.py)
+
+
+class DepthwiseSeparableSubsample10(nn.Module):
+    """×10 conv subsampling (reference backbone.py:7
+    DepthwiseSeparableConv1dSubsampling10): depthwise k15 s10 pad3 → ReLU →
+    pointwise 1×1 → ReLU → LayerNorm → dropout. (B, T, F) → (B, ≈T/10, D)."""
+
+    d_model: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nin = x.shape[-1]
+        h = nn.Conv(
+            nin, (15,), strides=(10,), padding=[(3, 3)],
+            feature_group_count=nin, use_bias=False, dtype=self.dtype, name="depthwise",
+        )(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.d_model, (1,), use_bias=False, dtype=self.dtype, name="pointwise")(h)
+        h = nn.relu(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln")(h)
+        return nn.Dropout(self.dropout)(h, deterministic=not train)
+
+
+class PixelDecoderUpsample10(nn.Module):
+    """×10 transposed-conv upsample (reference pixel_decoder.py:3
+    OneDimTransposedConvolutionUpsampleLayer): conv_t k3 s2 → GELU →
+    conv_t k5 s5 → GELU → LayerNorm → GELU; a final 1×1 conv produces the
+    mask features. (B, T', D) → (features (B, 10·T', D), mask_feat same)."""
+
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.ConvTranspose(self.d_model, (3,), strides=(2,), padding="SAME", dtype=self.dtype, name="up2")(x)
+        h = nn.gelu(h, approximate=True)
+        h = nn.ConvTranspose(self.d_model, (5,), strides=(5,), padding="SAME", dtype=self.dtype, name="up5")(h)
+        h = nn.gelu(h, approximate=True)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln")(h)
+        h = nn.gelu(h, approximate=True)
+        mask_feat = nn.Conv(self.d_model, (1,), dtype=self.dtype, name="mask_features")(h)
+        return h, mask_feat
 
 
 class MaskedDecoderLayer(nn.Module):
@@ -76,11 +129,25 @@ class EENDM2FModel(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.encoder = TransformerEncoder(
-            d_model=c.d_model, n_layers=c.enc_layers, n_heads=c.n_heads, d_ff=c.d_ff,
-            dropout=c.dropout, has_pos=True, dtype=self.dtype,
-        )
-        self.pixel_proj = nn.Dense(c.d_model, dtype=self.dtype)
+        if c.use_backbone:
+            self.subsampler = DepthwiseSeparableSubsample10(c.d_model, c.dropout, dtype=self.dtype)
+            self.pixel_decoder = PixelDecoderUpsample10(c.d_model, dtype=self.dtype)
+        if c.use_backbone and c.encoder_type == "conformer":
+            from .conformer import ConformerEncoder
+
+            # stateless GroupNorm conv module: identical train/eval graphs,
+            # no batch_stats plumbing through the set-criterion loss path
+            self.encoder = ConformerEncoder(
+                d_model=c.d_model, n_layers=c.enc_layers, n_heads=c.n_heads, d_ff=c.d_ff,
+                conv_kernel=c.conv_kernel, dropout=c.dropout, conv_norm="group", dtype=self.dtype,
+            )
+        else:
+            self.encoder = TransformerEncoder(
+                d_model=c.d_model, n_layers=c.enc_layers, n_heads=c.n_heads, d_ff=c.d_ff,
+                dropout=c.dropout, has_pos=True, dtype=self.dtype,
+            )
+        if not c.use_backbone:
+            self.pixel_proj = nn.Dense(c.d_model, dtype=self.dtype)
         self.query_emb = self.param("query_emb", nn.initializers.normal(0.5), (c.num_queries, c.d_model))
         self.dec_layers_mods = [
             MaskedDecoderLayer(c.n_heads, c.d_ff, c.dropout, dtype=self.dtype, name=f"dec_{i}")
@@ -93,7 +160,9 @@ class EENDM2FModel(nn.Module):
         """x: audio (B, samples) or features (B, T, d_in).
 
         Returns dict with 'mask_logits' (B, Q, T), 'class_logits' (B, Q),
-        and per-layer aux lists.
+        and per-layer aux lists. With use_backbone=True, the frontend must
+        NOT subsample (subsampling=1): the ×10 happens in the conv
+        subsampler and masks are scored at the input frame rate.
         """
         if self.frontend is not None and x.ndim == 2:
             fe = self.frontend
@@ -101,8 +170,27 @@ class EENDM2FModel(nn.Module):
                 x, x.shape[-1], fe.frame_size, fe.frame_shift, fe.sample_rate,
                 fe.n_mels, fe.context_size, fe.subsampling, fe.mean_norm,
             )
-        feats = self.encoder(x.astype(self.dtype), frame_mask=frame_mask, deterministic=not train)
-        pixel = self.pixel_proj(feats)  # (B, T, D)
+        x = x.astype(self.dtype)
+        if self.cfg.use_backbone:
+            T_in = x.shape[1]
+            h = self.subsampler(x, train=train)  # (B, ≈T/10, D)
+            if self.cfg.encoder_type == "conformer":
+                h = self.encoder(h, train=train)
+            else:
+                h = self.encoder(h, frame_mask=None, deterministic=not train)
+            feat, mask_feat = self.pixel_decoder(h)  # both (B, 10·T', D)
+            # align the upsampled rate back to the input frame count
+            if feat.shape[1] < T_in:
+                pad = T_in - feat.shape[1]
+                feat = jnp.pad(feat, ((0, 0), (0, pad), (0, 0)))
+                mask_feat = jnp.pad(mask_feat, ((0, 0), (0, pad), (0, 0)))
+            feat, mask_feat = feat[:, :T_in], mask_feat[:, :T_in]
+            pixel = mask_feat  # masks scored against mask features
+            cross_feats = feat  # queries cross-attend to pixel-decoder features
+        else:
+            feats = self.encoder(x, frame_mask=frame_mask, deterministic=not train)
+            pixel = self.pixel_proj(feats)  # (B, T, D)
+            cross_feats = pixel
 
         B, T, D = pixel.shape
         Q = self.cfg.num_queries
@@ -111,7 +199,7 @@ class EENDM2FModel(nn.Module):
         aux_masks, aux_classes = [], []
         attn_mask = None
         for layer in self.dec_layers_mods:
-            q = layer(q, pixel, attn_mask, train)
+            q = layer(q, cross_feats, attn_mask, train)
             memb = self.mask_head(q)  # (B, Q, D)
             mask_logits = jnp.einsum("bqd,btd->bqt", memb, pixel).astype(jnp.float32)
             cls_logits = self.class_head(q)[..., 0].astype(jnp.float32)

@@ -15,7 +15,18 @@ from speaker_diarization_tpu.models.eend_m2f import (
 from speaker_diarization_tpu.ops.hungarian import dice_loss, hungarian_assign
 
 FE = FrontendConfig()
-CFG = M2FConfig(num_queries=6, d_model=48, n_heads=2, d_ff=64, enc_layers=1, dec_layers=2, dropout=0.0)
+# flat variant: encoder at (subsampled) frontend rate, no conv backbone
+CFG = M2FConfig(
+    num_queries=6, d_model=48, n_heads=2, d_ff=64, enc_layers=1, dec_layers=2,
+    dropout=0.0, use_backbone=False,
+)
+# reference-fidelity variant (backbone.py:7 + pixel_decoder.py:3): ×10
+# depthwise subsample → conformer → ×10 transposed-conv upsample
+FE_RAW = FrontendConfig(subsampling=1, context_size=0)
+CFG_BB = M2FConfig(
+    num_queries=6, d_model=48, n_heads=2, d_ff=64, enc_layers=1, dec_layers=2,
+    dropout=0.0, use_backbone=True, encoder_type="conformer", conv_kernel=7,
+)
 
 
 class TestHungarian:
@@ -99,3 +110,67 @@ class TestModel:
         assert act.shape == (B, CFG.num_queries, T)
         # after overfitting, ~2 queries should be kept per sample
         assert 1 <= int(np.asarray(keep).sum(axis=-1).max()) <= CFG.num_queries
+
+
+class TestBackboneModel:
+    """True backbone: encoder at ×10 rate, masks at frame rate."""
+
+    @pytest.fixture(scope="class")
+    def m2f_bb(self):
+        model = EENDM2FModel(cfg=CFG_BB, frontend=FE_RAW)
+        rng = np.random.default_rng(0)
+        B, T = 2, 200  # 100 Hz frames
+        audio = jnp.asarray(rng.standard_normal((B, FE_RAW.chunk_samples(T))).astype(np.float32) * 0.1)
+        params = model.init(jax.random.PRNGKey(0), audio)
+        return model, params, audio, B, T
+
+    def test_masks_at_frame_rate_encoder_at_tenth(self, m2f_bb):
+        model, params, audio, B, T = m2f_bb
+        out = model.apply(params, audio)
+        assert out["mask_logits"].shape == (B, CFG_BB.num_queries, T)
+        assert out["class_logits"].shape == (B, CFG_BB.num_queries)
+        # the subsampler param shapes prove the ×10 path exists
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        names = {"/".join(str(getattr(k, "key", k)) for k in path) for path, _ in flat}
+        assert any("subsampler/depthwise" in n for n in names), sorted(names)[:10]
+        assert any("pixel_decoder/up5" in n for n in names)
+
+    def test_subsample_shape_contract(self):
+        # depthwise k15 s10 pad3: T' = floor((T + 6 - 15)/10) + 1
+        from speaker_diarization_tpu.models.eend_m2f import DepthwiseSeparableSubsample10
+
+        m = DepthwiseSeparableSubsample10(16)
+        x = jnp.zeros((1, 500, 23))
+        p = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(p, x)
+        assert y.shape == (1, 50, 16)
+
+    def test_overfit(self, m2f_bb):
+        model, params, audio, B, T = m2f_bb
+        labels = np.zeros((B, 3, T), np.float32)
+        labels[:, 0, 20:100] = 1
+        labels[:, 1, 80:160] = 1
+
+        import optax
+
+        tx = optax.adam(3e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                out = model.apply(p, audio, train=False)
+                loss, _ = m2f_criterion(out, jnp.asarray(labels), CFG_BB)
+                return loss
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            up, opt_state2 = tx.update(g, opt_state)
+            return optax.apply_updates(params, up), opt_state2, loss
+
+        losses = []
+        p = params
+        for _ in range(30):
+            p, opt_state, loss = step(p, opt_state)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < 0.7 * losses[0], losses[::6]
