@@ -40,6 +40,13 @@ class SONDConfig:
     label_smoothing: float = 0.1
     encoder_m_channels: int = 32
     encoder_blocks: tuple = (3, 4, 6, 3)
+    # speaker profile encoder (reference conv_encoder.py:19 ConvEncoder):
+    # k=1 conv stack over the profile axis, tanh, residual after layer 1
+    spk_encoder_layers: int = 3
+    # CD scorer attention: 'sanm' (reference attention.py:311
+    # MultiHeadedAttentionSANM — fused qkv + FSMN memory branch) or 'vanilla'
+    cd_attention: str = "sanm"
+    sanm_kernel: int = 11
 
     @property
     def n_classes(self) -> int:
@@ -72,6 +79,71 @@ class FsmnBlock(nn.Module):
         return out
 
 
+class SpeakerConvEncoder(nn.Module):
+    """Speaker-profile encoder (reference sond/conv_encoder.py:19
+    ConvEncoder): k=1 conv stack over the profile axis (≡ per-profile MLP),
+    tanh activations, residual connections from layer 2 on, and an output
+    projection. Input profiles are L2-normalized; zero (absent) profiles
+    stay zero via the norm mask."""
+
+    d_model: int
+    n_layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, profiles):
+        """(B, N, spk_emb_dim) → (B, N, d_model)."""
+        mask = (jnp.linalg.norm(profiles, axis=-1, keepdims=True) > 0).astype(self.dtype)
+        h = L.l2_normalize(profiles.astype(self.dtype))
+        for i in range(self.n_layers):
+            y = nn.Dense(self.d_model, dtype=self.dtype, name=f"conv_{i}")(h)
+            y = jnp.tanh(y)
+            h = h + y if (i > 0 and h.shape[-1] == self.d_model) else y
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="conv_out")(h)
+        return h * mask
+
+
+class SANMLayer(nn.Module):
+    """Self-attention layer with FSMN memory (reference sond/attention.py:311
+    MultiHeadedAttentionSANM): fused qkv projection + a depthwise-conv memory
+    branch over v, summed with the attention output; pre-LN residual wiring
+    as in the reference SelfAttentionEncoder."""
+
+    n_heads: int
+    d_ff: int
+    kernel: int = 11
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        d = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        B, T, _ = q.shape
+        H = self.n_heads
+        hd = d // H
+        qh = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3) * (hd**-0.5)
+        kh = k.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        w = jax.nn.softmax(jnp.einsum("bhtd,bhsd->bhts", qh, kh), axis=-1)
+        att = jnp.einsum("bhts,bhsd->bhtd", w, vh).transpose(0, 2, 1, 3).reshape(B, T, d)
+        att = nn.Dense(d, dtype=self.dtype, name="out_proj")(att)
+        # FSMN memory on v: depthwise conv, residual inside the branch
+        lpad = (self.kernel - 1) // 2
+        mem = nn.Conv(
+            d, (self.kernel,), padding=[(lpad, self.kernel - 1 - lpad)],
+            feature_group_count=d, use_bias=False, dtype=self.dtype, name="fsmn",
+        )(v)
+        mem = nn.Dropout(self.dropout)(v + mem, deterministic=deterministic)
+        x = x + nn.Dropout(self.dropout)(att + mem, deterministic=deterministic)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = nn.Dense(self.d_ff, dtype=self.dtype, name="ffn1")(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="ffn2")(nn.relu(h))
+        return x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
 class SONDModel(nn.Module):
     cfg: SONDConfig = SONDConfig()
     dtype: jnp.dtype = jnp.float32
@@ -82,13 +154,26 @@ class SONDModel(nn.Module):
             feat_dim=c.feat_dim, m_channels=c.encoder_m_channels, num_blocks=c.encoder_blocks, dtype=self.dtype
         )
         self.frame_proj = nn.Dense(c.d_model, dtype=self.dtype)
-        # speaker encoder: 1-D conv stack over the speaker axis (ConvEncoder)
-        self.spk_proj1 = nn.Dense(c.d_model, dtype=self.dtype)
-        self.spk_proj2 = nn.Dense(c.d_model, dtype=self.dtype)
-        self.cd_layers_mods = [
-            TransformerEncoderLayer(n_heads=c.n_heads, d_ff=4 * c.d_model, dropout=c.dropout, dtype=self.dtype, name=f"cd_{i}")
-            for i in range(c.cd_layers)
-        ]
+        # speaker profile encoder (reference conv_encoder.py:19)
+        self.speaker_encoder = SpeakerConvEncoder(
+            c.d_model, n_layers=c.spk_encoder_layers, dtype=self.dtype
+        )
+        # CD scorer input is concat[speech ‖ profile] (models.py:315-326
+        # concate_speech_ivc) → project to d_model → SANM/vanilla stack
+        self.cd_in_proj = nn.Dense(c.d_model, dtype=self.dtype)
+        if c.cd_attention == "sanm":
+            self.cd_layers_mods = [
+                SANMLayer(
+                    n_heads=c.n_heads, d_ff=4 * c.d_model, kernel=c.sanm_kernel,
+                    dropout=c.dropout, dtype=self.dtype, name=f"cd_{i}",
+                )
+                for i in range(c.cd_layers)
+            ]
+        else:
+            self.cd_layers_mods = [
+                TransformerEncoderLayer(n_heads=c.n_heads, d_ff=4 * c.d_model, dropout=c.dropout, dtype=self.dtype, name=f"cd_{i}")
+                for i in range(c.cd_layers)
+            ]
         self.cd_score = nn.Dense(1, dtype=self.dtype)
         self.fsmn = [
             FsmnBlock(c.d_model, c.fsmn_lorder, c.fsmn_rorder, c.dropout, dtype=self.dtype, name=f"fsmn_{i}")
@@ -102,10 +187,14 @@ class SONDModel(nn.Module):
         return self.frame_proj(h)
 
     def encode_speakers(self, spk_embs):
-        """(B, N, spk_emb_dim) → (B, N, d_model), L2-normalized."""
-        h = nn.relu(self.spk_proj1(spk_embs.astype(self.dtype)))
-        h = self.spk_proj2(h)
-        return L.l2_normalize(h)
+        """(B, N, spk_emb_dim) → (B, N, d_model), zero rows stay zero."""
+        return self.speaker_encoder(spk_embs)
+
+    def n_out_frames(self, n_fbank_frames: int) -> int:
+        """Encoder output length for a given 100 Hz fbank length (×8
+        downsample, ceil rounding — measured contract of ResNet34 frames
+        mode). Feed fbank padded to 8·T_labels for exact label alignment."""
+        return -(-n_fbank_frames // 8)
 
     def __call__(self, fbank, spk_embs, train: bool = False):
         """fbank (B, T100, F), spk_embs (B, N=max_speakers, D) →
@@ -113,19 +202,25 @@ class SONDModel(nn.Module):
         c = self.cfg
         frames = self.encode_speech(fbank, train)  # (B, T, D)
         spk = self.encode_speakers(spk_embs)  # (B, N, D)
+        # normalize_speech_speaker (models.py:337-339): both scorers see
+        # L2-normalized frame/profile vectors
         fn = L.l2_normalize(frames)
-        ci = jnp.einsum("btd,bnd->btn", fn, spk)  # cosine CI scores
+        sn = L.l2_normalize(spk) * (jnp.linalg.norm(spk, axis=-1, keepdims=True) > 0)
+        ci = jnp.einsum("btd,bnd->btn", fn, sn)  # cosine CI scores
 
-        # CD scorer: per-speaker fused sequence through shared transformer
+        # CD scorer: concat[speech ‖ profile] per (speaker, frame) folded
+        # into the batch axis (models.py:329-346 calc_similarity)
         B, T, D = frames.shape
         N = spk.shape[1]
-        fused = frames[:, None, :, :] + spk[:, :, None, :]  # (B, N, T, D)
-        fused = fused.reshape(B * N, T, D)
+        f_exp = jnp.broadcast_to(fn[:, None, :, :], (B, N, T, D))
+        s_exp = jnp.broadcast_to(sn[:, :, None, :], (B, N, T, D))
+        fused = jnp.concatenate([f_exp, s_exp], axis=-1).reshape(B * N, T, 2 * D)
+        fused = self.cd_in_proj(fused)
         for layer in self.cd_layers_mods:
-            fused = layer(fused, None, not train)
+            fused = layer(fused, not train) if c.cd_attention == "sanm" else layer(fused, None, not train)
         cd = self.cd_score(fused).reshape(B, N, T).transpose(0, 2, 1)  # (B, T, N)
 
-        h = jnp.concatenate([ci, cd], axis=-1)  # (B, T, 2N)
+        h = jnp.concatenate([cd, ci], axis=-1)  # (B, T, 2N) — cd first (models.py:377)
         for blk in self.fsmn:
             h = blk(h, train)
         return self.out(h).astype(jnp.float32)
@@ -149,14 +244,15 @@ def make_sond_loss(model: SONDModel):
             logits = model.apply(variables, batch["fbank"], batch["spk_embs"], False)
             new_mut = mutable
         labels = batch["labels"]  # (B, T_frames, max_speakers) multilabel
-        # The ResNet34 frame encoder rounds the ×8 downsample up while label
-        # subsampling rounds down — crop both to the common length.
-        T = min(logits.shape[1], labels.shape[1])
-        logits = logits[:, :T]
-        labels = labels[:, :T]
+        # alignment is the caller's contract: fbank padded to 8·T_labels so
+        # the ×8 encoder emits exactly one frame per label (n_out_frames)
+        if logits.shape[1] != labels.shape[1]:
+            raise ValueError(
+                f"SOND frame/label mismatch: logits T={logits.shape[1]} vs "
+                f"labels T={labels.shape[1]} — pad fbank to 8*T_labels "
+                f"(see make_sond_loss_from_audio)"
+            )
         frame_mask = batch.get("frame_mask")
-        if frame_mask is not None:
-            frame_mask = frame_mask[:, :T]
         loss, _ = P.powerset_pit_ce(
             logits, labels, c.max_speakers, c.max_set_size,
             frame_mask=frame_mask, label_smoothing=c.label_smoothing,

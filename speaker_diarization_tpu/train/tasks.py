@@ -308,8 +308,14 @@ def make_sond_loss_from_audio(model, frame_size: int = 400, frame_shift: int = 1
         fbank = kaldi_fbank_auto(
             batch["audio"], num_mel_bins=model.cfg.feat_dim, sample_rate=sample_rate
         )
-        t_out = fbank.shape[1] // 8
-        labels = batch["labels"][:, ::2][:, :t_out]  # 25 Hz → 12.5 Hz
+        labels = batch["labels"][:, ::2]  # 25 Hz → 12.5 Hz
+        # by construction: pad/crop fbank to 8·T_labels so the ×8 encoder
+        # (ceil rounding, SONDModel.n_out_frames) emits exactly one frame
+        # per label — no silent cropping of either stream
+        t_fb = 8 * labels.shape[1]
+        if fbank.shape[1] < t_fb:
+            fbank = jnp.pad(fbank, ((0, 0), (0, t_fb - fbank.shape[1]), (0, 0)))
+        fbank = fbank[:, :t_fb]
         b2 = dict(fbank=fbank, spk_embs=batch["target_embs"], labels=labels)
         return base(params, mutable, b2, rng, train)
 
