@@ -79,6 +79,10 @@ class TrainCliConfig:
     # tsvad: stop-gradient the (pretrained) speech encoder for this run
     # (reference freeze_speech_encoder_updates, model.py:771)
     freeze_encoder: bool = False
+    # tsvad3 (online enrollment-waveform embeddings, egs/alimeeting/ts_vad3)
+    ts_len: float = 6.0  # enrollment seconds per speaker
+    fuse_fbank_feat: bool = False
+    fuse_speaker_embedding_feat: bool = True
     # optimization
     batch_size: int = 16
     num_steps: int = 10000
@@ -200,6 +204,49 @@ def _build_model(cfg: TrainCliConfig):
                 encoder_block_layers=_blocks_override(cfg, (12, 24, 16)),
             ),
             remat_encoder=cfg.remat,
+            dtype=dtype,
+        )
+    if cfg.family == "tsvad3":
+        from ..models import TSVADConfig
+        from ..models.tsvad3 import TSVAD3Config, TSVAD3Model
+
+        feat_dim = cfg.n_mels if cfg.n_mels != 23 else 80
+        blocks = _blocks_override(cfg, (12, 24, 16))
+        return TSVAD3Model(
+            cfg=TSVAD3Config(
+                base=TSVADConfig(
+                    max_num_speaker=cfg.n_speakers if cfg.n_speakers > 2 else 4,
+                    feat_dim=feat_dim,
+                    num_transformer_layer=cfg.n_layers,
+                    num_attention_head=cfg.n_heads,
+                    transformer_ffn_embed_dim=cfg.d_ff,
+                    dropout=cfg.dropout,
+                    sample_rate=cfg.sample_rate,
+                    encoder_block_layers=blocks,
+                ),
+                ts_len=cfg.ts_len,
+                fuse_fbank_feat=cfg.fuse_fbank_feat,
+                fuse_speaker_embedding_feat=cfg.fuse_speaker_embedding_feat,
+                speaker_encoder_layers=blocks,
+            ),
+            dtype=dtype,
+        )
+    if cfg.family == "ots_vad":
+        from ..models.ots_vad import OTSVADConfig, OTSVADModel
+
+        feat_dim = cfg.n_mels if cfg.n_mels != 23 else 80
+        return OTSVADModel(
+            cfg=OTSVADConfig(
+                num_speakers=cfg.n_speakers if cfg.n_speakers > 2 else 4,
+                d_model=cfg.d_model,
+                conformer_layers=max(cfg.n_layers // 2, 1),
+                n_heads=cfg.n_heads,
+                d_ff=cfg.d_ff,
+                feat_dim=feat_dim,
+                sample_rate=cfg.sample_rate,
+                encoder_blocks=_blocks_override(cfg, (3, 4, 6, 3)),
+                dropout=cfg.dropout,
+            ),
             dtype=dtype,
         )
     if cfg.family == "tsvad_streaming":
@@ -387,30 +434,45 @@ def cmd_train(args) -> int:
         # partial batches, so a small dev set would otherwise yield nothing
         vbs = min(cfg.batch_size, len(valid_ds.chunks)) if valid_ds else 0
         make_valid = (lambda: batch_iterator(valid_ds, max(1, vbs), False)) if valid_ds else None
-    elif cfg.family in ("tsvad", "tsvad_streaming"):
+    elif cfg.family in ("tsvad", "tsvad_streaming", "tsvad3", "ots_vad"):
         from ..data.tsvad_dataset import TSVADChunkDataset, tsvad_batch_iterator
         from ..infer.embeddings import EmbeddingStore
 
         from ..data.eend_dataset import ConcatChunkDataset
 
-        stores = [EmbeddingStore.load(p) for p in args.emb_store.split(",")]
-        store = stores[0]
-        for extra in stores[1:]:
-            store.data.update(extra.data)
+        if args.emb_store:
+            stores = [EmbeddingStore.load(p) for p in args.emb_store.split(",")]
+            store = stores[0]
+            for extra in stores[1:]:
+                store.data.update(extra.data)
+        elif cfg.family == "ots_vad":
+            store = None  # OTS-VAD is enrollment-free (self-generated targets)
+        elif cfg.family == "tsvad3" and getattr(args, "target_audio_dir", None):
+            store = None  # enrollment waveforms replace precomputed embeddings
+        else:
+            raise SystemExit(f"--emb-store is required for family {cfg.family}")
         train_dirs = args.train_dir.split(",")
+        # OTS-VAD trains on 2·rs_len chunks: self-enroll on the left half
+        # with true labels, predict the right half (reference ots_vad)
+        ds_rs_len = 2 * cfg.rs_len if cfg.family == "ots_vad" else cfg.rs_len
+        tad = getattr(args, "target_audio_dir", None)
+        tads = tad.split(",") if tad else [None] * len(train_dirs)
         dss = [
             TSVADChunkDataset(
-                d, store, rs_len=cfg.rs_len, segment_shift=cfg.segment_shift,
+                d, store, rs_len=ds_rs_len, segment_shift=cfg.segment_shift,
                 rate=cfg.sample_rate, is_train=True, seed=cfg.seed,
                 noise_dir=args.noise_dir, rir_dir=args.rir_dir,
+                target_audio_dir=t, enroll_len_s=cfg.ts_len,
             )
-            for d in train_dirs
+            for d, t in zip(train_dirs, tads)
         ]
         train_ds = dss[0] if len(dss) == 1 else ConcatChunkDataset(dss)
         valid_ds = (
             TSVADChunkDataset(
-                args.valid_dir, store, rs_len=cfg.rs_len, segment_shift=cfg.rs_len,
+                args.valid_dir, store, rs_len=ds_rs_len, segment_shift=ds_rs_len,
                 rate=cfg.sample_rate, is_train=False,
+                target_audio_dir=getattr(args, "valid_target_audio_dir", None),
+                enroll_len_s=cfg.ts_len,
             )
             if args.valid_dir
             else None
@@ -418,7 +480,37 @@ def cmd_train(args) -> int:
         T = int(cfg.rs_len * 25)
         cfg, mesh = _fit_batch_to_mesh(cfg, mesh)
         b0 = next(tsvad_batch_iterator(train_ds, cfg.batch_size, shuffle=False))
-        if cfg.family == "tsvad_streaming":
+        if cfg.family == "tsvad3":
+            loss_fn = tasks.make_tsvad3_loss(model, T, freeze_speech_encoder=cfg.freeze_encoder)
+            trainer = Trainer(loss_fn, tcfg, mesh=mesh, has_mutable=True)
+            targets0 = b0.get("enroll_audio", b0["target_embs"])
+            variables = model.init(
+                jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"]), jnp.asarray(targets0), T
+            )
+            if args.encoder_ckpt and args.encoder_ckpt.endswith(".npz"):
+                from ..models.spk_embed import load_encoder
+
+                _, enc_vars = load_encoder(args.encoder_ckpt)
+                for mod in ("speech_encoder", "speaker_encoder"):
+                    if mod in variables["params"]:
+                        variables["params"][mod] = enc_vars["params"]
+                        variables["batch_stats"][mod] = enc_vars["batch_stats"]
+                logging.info("loaded trained encoders from %s", args.encoder_ckpt)
+            state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
+        elif cfg.family == "ots_vad":
+            import numpy as np
+
+            loss_fn = tasks.make_ots_vad_loss(model)
+            trainer = Trainer(loss_fn, tcfg, mesh=mesh, has_mutable=True)
+            n = b0["audio"].shape[1] // 2
+            t12 = (b0["labels"].shape[1] // 2) // 2
+            y0 = jnp.asarray(np.transpose(b0["labels"][:, ::2][:, :t12], (0, 2, 1)))
+            variables = model.init(
+                jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["audio"][:, :n]),
+                jnp.asarray(b0["audio"][:, n:]), y0,
+            )
+            state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
+        elif cfg.family == "tsvad_streaming":
             # own conv front-end (reference parity: no CAM++), no batch
             # stats, static chunk-masked attention during training
             loss_fn = tasks.make_streaming_tsvad_loss(model, T)
@@ -970,6 +1062,45 @@ def cmd_infer(args) -> int:
         probs = tsvad_infer_dataset(lambda a, e: predict(jnp.asarray(a), jnp.asarray(e)), ds)
         fs = 1.0 / 25
         rec_speakers = ds.rec_speakers  # real speaker names in the RTTM
+    elif cfg.family == "tsvad3":
+        # TS-VAD3: enrollment waveforms from the target_audio tree are
+        # embedded in-model (reference ts_vad3 online utt spk-emb)
+        from ..data.tsvad_dataset import TSVADChunkDataset
+        from ..infer import tsvad_infer_dataset
+
+        if not args.target_audio_dir:
+            raise SystemExit("tsvad3 inference needs --target-audio-dir")
+        ds = TSVADChunkDataset(
+            args.data_dir, None, rs_len=cfg.rs_len, segment_shift=args.infer_shift,
+            rate=cfg.sample_rate, is_train=False,
+            target_audio_dir=args.target_audio_dir, enroll_len_s=cfg.ts_len,
+        )
+        T = int(cfg.rs_len * 25)
+
+        @jax.jit
+        def predict(a, e):
+            logits = model.apply({"params": params, **(mutable or {})}, a, e, T, train=False)
+            return jax.nn.sigmoid(logits)
+
+        probs = tsvad_infer_dataset(
+            lambda a, e: predict(jnp.asarray(a), jnp.asarray(e)), ds, emb_key="enroll_audio"
+        )
+        fs = 1.0 / 25
+        rec_speakers = ds.rec_speakers
+    elif cfg.family == "ots_vad":
+        # enrollment-free online decode with slot bootstrapping + the
+        # lower-threshold new-speaker rule (ots_vad/test_inference_case1.py)
+        from ..data.kaldi_io import KaldiData
+        from ..infer.ots_vad import ots_vad_infer_dataset
+
+        kd = KaldiData(args.data_dir)
+        probs = ots_vad_infer_dataset(
+            model, {"params": params, **(mutable or {})}, kd,
+            rate=cfg.sample_rate, rs_len=cfg.rs_len,
+        )
+        fs = 1.0 / 25
+        S = model.cfg.num_speakers
+        rec_speakers = {rec: [f"spk{i + 1}" for i in range(S)] for rec in probs}
     elif cfg.family == "tsvad_streaming":
         # windowed chunk-by-chunk streaming decode through the per-layer KV
         # caches, overlap-voted like offline TS-VAD (reference
@@ -1144,7 +1275,7 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train", help="train a diarization model")
     t.add_argument(
         "--family",
-        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "tsvad_streaming", "vad", "ssnd", "sond", "spk"],
+        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "tsvad_streaming", "tsvad3", "ots_vad", "vad", "ssnd", "sond", "spk"],
     )
     t.add_argument("--config", help="YAML config (TrainCliConfig fields)")
     t.add_argument("--set", action="append", default=[], help="dotted overrides key=value")
@@ -1152,6 +1283,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--valid-dir")
     t.add_argument("--exp-dir", required=True)
     t.add_argument("--emb-store", help="tsvad: embedding npz")
+    t.add_argument("--target-audio-dir", help="tsvad3: comma list of target_audio trees (parallel to --train-dir)")
+    t.add_argument("--valid-target-audio-dir", help="tsvad3: target_audio tree for --valid-dir")
     t.add_argument("--encoder-ckpt", help="tsvad: pretrained CAM++ torch checkpoint")
     t.add_argument("--noise-dir")
     t.add_argument("--rir-dir")
@@ -1163,7 +1296,7 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("infer", help="run chunked inference → RTTM")
     i.add_argument(
         "--family",
-        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "tsvad_streaming", "sond", "ssnd"],
+        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "tsvad_streaming", "tsvad3", "ots_vad", "sond", "ssnd"],
     )
     i.add_argument("--config")
     i.add_argument("--set", action="append", default=[])
@@ -1177,6 +1310,7 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--class-threshold", type=float, default=0.5, help="eend_m2f query-keep threshold")
     i.add_argument("--ssnd-rescore", action="store_true", help="ssnd: two-pass offline rescore")
     i.add_argument("--emb-store")
+    i.add_argument("--target-audio-dir", help="tsvad3: target_audio tree for enrollment waveforms")
     i.add_argument("--infer-shift", type=float, default=1.0)
     i.add_argument("--threshold-sweep", action="store_true", help="write RTTMs for thresholds 0.2..0.8")
     i.add_argument("--cder", action="store_true", help="also report CDER in the threshold sweep")

@@ -57,6 +57,12 @@ class TSVADChunkDataset:
         enhance_prob: float = 0.0,
         enhanced_audio_dir: Optional[str] = None,
         seed: int = 0,
+        # TS-VAD3 online-enrollment mode: per-speaker enrollment *waveforms*
+        # (reference ts_vad3 — utterance-level speaker embeddings computed
+        # in-model). Points at prepare-targets' target_audio/<rec>/<spk>.wav
+        # tree; items gain "enroll_audio" (S, enroll_len_s·rate).
+        target_audio_dir: Optional[str] = None,
+        enroll_len_s: float = 3.0,
     ):
         self.kd = kaldi_io.KaldiData(data_dir)
         self.embs = emb_store
@@ -104,6 +110,8 @@ class TSVADChunkDataset:
         self.enhancer = enhancer
         self.enhance_prob = enhance_prob
         self._enhanced_wavs = self._load_aug_dir(enhanced_audio_dir)
+        self.target_audio_dir = target_audio_dir
+        self.enroll_samples = int(enroll_len_s * rate)
 
     def _load_aug_dir(self, d):
         if d is None:
@@ -119,6 +127,8 @@ class TSVADChunkDataset:
 
     # ------------------------------------------------------------------
     def _target_embedding(self, rec: str, spk: str) -> np.ndarray:
+        if self.embs is None:  # enrollment-free families (OTS-VAD)
+            return np.zeros((192,), np.float32)
         m = self.embs.get(rec, spk) if self.embs.has(rec, spk) else None
         if m is None or len(m) == 0:
             # fall back to any recording of this speaker with usable windows
@@ -134,6 +144,8 @@ class TSVADChunkDataset:
         return m.mean(axis=0)
 
     def _distractor_embedding(self, exclude: List[str]) -> Optional[np.ndarray]:
+        if self.embs is None:
+            return None
         pool = [s for s in self.all_speakers if s not in exclude]
         if not pool:
             return None
@@ -206,7 +218,7 @@ class TSVADChunkDataset:
         S = self.max_speakers
         labels = np.zeros((T, S), np.float32)
         labels[:, : len(speakers)] = act
-        embs = np.zeros((S, self.embs.dim), np.float32)
+        embs = np.zeros((S, self.embs.dim if self.embs is not None else 192), np.float32)
         exist = list(speakers)
         for i in range(S):
             if i < len(speakers):
@@ -215,7 +227,7 @@ class TSVADChunkDataset:
                 d = self._distractor_embedding(exist)
                 if d is not None:
                     embs[i] = d
-        return dict(
+        item = dict(
             audio=audio.astype(np.float32),
             target_embs=embs,
             labels=labels,
@@ -223,6 +235,27 @@ class TSVADChunkDataset:
             start_frame=ch.start_frame,
             speakers=speakers,
         )
+        if self.target_audio_dir is not None:
+            item["enroll_audio"] = self._enroll_audio(ch.rec, speakers)
+        return item
+
+    def _enroll_audio(self, rec: str, speakers: List[str]) -> np.ndarray:
+        """Per-speaker enrollment crops from prepare-targets' overlap-free
+        target wavs; zeros for absent speaker slots."""
+        out = np.zeros((self.max_speakers, self.enroll_samples), np.float32)
+        for i, spk in enumerate(speakers[: self.max_speakers]):
+            path = os.path.join(self.target_audio_dir, rec, f"{spk}.wav")
+            if not os.path.exists(path):
+                continue
+            wav, rate = load_wav_maybe_piped(path)
+            assert rate == self.rate
+            if wav.ndim > 1:
+                wav = wav[:, 0]
+            if len(wav) > self.enroll_samples:
+                st = self.rng.randrange(len(wav) - self.enroll_samples) if self.is_train else 0
+                wav = wav[st: st + self.enroll_samples]
+            out[i, : len(wav)] = wav
+        return out
 
 
 def tsvad_batch_iterator(
@@ -240,8 +273,11 @@ def tsvad_batch_iterator(
     stop = n - (n % batch_size) if drop_last else n
     for i in range(0, stop, batch_size):
         items = [dataset[j] for j in order[i : i + batch_size]]
-        yield dict(
+        batch = dict(
             audio=np.stack([it["audio"] for it in items]),
             target_embs=np.stack([it["target_embs"] for it in items]),
             labels=np.stack([it["labels"] for it in items]),
         )
+        if "enroll_audio" in items[0]:
+            batch["enroll_audio"] = np.stack([it["enroll_audio"] for it in items])
+        yield batch

@@ -76,6 +76,7 @@ def tsvad_infer_dataset(
     predict_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
     dataset,
     batch_size: int = 16,
+    emb_key: str = "target_embs",
 ) -> Dict[str, np.ndarray]:
     """Overlapped-window TS-VAD inference with per-frame probability voting.
 
@@ -106,7 +107,7 @@ def tsvad_infer_dataset(
         idxs = list(range(i, min(i + batch_size, n_items)))
         items = [dataset[j] for j in idxs]
         audio = np.stack([it["audio"] for it in items])
-        embs = np.stack([it["target_embs"] for it in items])
+        embs = np.stack([it[emb_key] for it in items])
         if len(items) < batch_size:  # static shapes for XLA
             pad = batch_size - len(items)
             audio = np.concatenate([audio, np.zeros((pad,) + audio.shape[1:], np.float32)])

@@ -227,6 +227,67 @@ def make_tsvad_loss(model, n_label_frames: int, freeze_encoder: bool = False):
     return loss_fn
 
 
+def make_tsvad3_loss(model, n_label_frames: int, freeze_speech_encoder: bool = False):
+    """loss_fn (has_mutable) for TSVAD3Model: enrollment *waveforms*
+    (batch['enroll_audio'] (B, S, Nts)) are embedded by the in-model speaker
+    encoder (reference egs/alimeeting/ts_vad3 online utt spk-emb); masked
+    per-speaker BCE like TS-VAD2."""
+
+    def loss_fn(params, mutable, batch, rng, train):
+        targets = batch["enroll_audio"] if "enroll_audio" in batch else batch["target_embs"]
+        if train:
+            logits, new_mut = model.apply(
+                {"params": params, **mutable}, batch["audio"], targets, n_label_frames,
+                train=True, freeze_speech_encoder=freeze_speech_encoder,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            new_mut = dict(new_mut)
+        else:
+            logits = model.apply(
+                {"params": params, **mutable}, batch["audio"], targets, n_label_frames, train=False
+            )
+            new_mut = mutable
+        loss = L.standard_bce(logits, batch["labels"])
+        stats = M.diarization_error_stats(logits, batch["labels"])
+        return loss, ({"frame_der": M.der_from_stats(stats)}, new_mut)
+
+    return loss_fn
+
+
+def make_ots_vad_loss(model):
+    """loss_fn (has_mutable) for OTSVADModel: the chunk is split into two
+    adjacent half-blocks; the model self-enrolls on the left block with its
+    TRUE labels and predicts the right block (reference ots_vad training —
+    no enrollment embeddings anywhere). Labels are (B, T25, S) over the full
+    chunk; the model's ×8 frame rate is 12.5 Hz, so labels subsample ::2."""
+
+    def loss_fn(params, mutable, batch, rng, train):
+        audio = batch["audio"]
+        labels = jnp.transpose(batch["labels"][:, ::2], (0, 2, 1))  # (B, S, T12)
+        n = audio.shape[1] // 2
+        t = labels.shape[-1] // 2
+        left, right = audio[:, :n], audio[:, n:]
+        y_left, y_right = labels[:, :, :t], labels[:, :, t: 2 * t]
+        if train:
+            logits, new_mut = model.apply(
+                {"params": params, **mutable}, left, right, y_left,
+                train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            new_mut = dict(new_mut)
+        else:
+            logits = model.apply({"params": params, **mutable}, left, right, y_left, train=False)
+            new_mut = mutable
+        T = min(logits.shape[-1], y_right.shape[-1])
+        logits, y_right = logits[..., :T], y_right[..., :T]
+        loss = L.standard_bce(logits, y_right)
+        stats = M.diarization_error_stats(
+            jnp.transpose(logits, (0, 2, 1)), jnp.transpose(y_right, (0, 2, 1))
+        )
+        return loss, ({"frame_der": M.der_from_stats(stats)}, new_mut)
+
+    return loss_fn
+
+
 def make_streaming_tsvad_loss(model, n_label_frames: int):
     """loss_fn for StreamingTSVADModel over TS-VAD chunk batches: masked
     per-speaker BCE on the chunk-masked full-sequence forward (reference

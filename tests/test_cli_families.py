@@ -162,3 +162,73 @@ def test_tsvad_cli_train_infer_sweep(corpus, tmp_path):
 
     ref_names = {t.speaker for ts in read_rttm_by_rec(os.path.join(data_dir, "rttm")).values() for t in ts}
     assert names <= ref_names
+
+
+def test_train_infer_tsvad3_cli(corpus, tmp_path):
+    """tsvad3: enrollment waveforms from prepare-targets' target_audio tree,
+    embedded in-model (reference egs/alimeeting/ts_vad3)."""
+    root, data_dir = corpus
+    targets = tmp_path / "targets"
+    rc = main([
+        "prepare-targets", "--rttm", os.path.join(data_dir, "rttm"),
+        "--data-dir", data_dir, "--out", str(targets),
+    ])
+    assert rc == 0
+    tad = str(targets / "target_audio")
+    exp = tmp_path / "tsvad3"
+    common = [
+        "--set", "sample_rate=8000", "--set", "n_mels=80", "--set", "rs_len=2.0",
+        "--set", "ts_len=1.0", "--set", "encoder_blocks=2,2",
+        "--set", "n_layers=1", "--set", "d_ff=64",
+    ]
+    rc = main([
+        "train", "--family", "tsvad3", "--train-dir", data_dir,
+        "--exp-dir", str(exp), "--target-audio-dir", tad,
+        *common,
+        "--set", "batch_size=2", "--set", "num_steps=3",
+        "--set", "schedule=const", "--set", "learning_rate=1e-4",
+        "--set", "log_every=1", "--set", "valid_every=100",
+    ])
+    assert rc == 0
+    losses = _losses(str(exp))
+    assert losses and np.isfinite(losses).all()
+
+    out = tmp_path / "tsvad3.rttm"
+    rc = main([
+        "infer", "--family", "tsvad3", "--data-dir", data_dir,
+        "--exp-dir", str(exp), "--target-audio-dir", tad,
+        "--out", str(out), *common,
+    ])
+    assert rc == 0
+    assert out.exists()
+
+
+def test_train_infer_ots_vad_cli(corpus, tmp_path):
+    """ots_vad: enrollment-free (self-generated targets); training splits
+    each 2*rs_len chunk into enroll-left/predict-right halves; inference is
+    the online slot-bootstrapping decode (test_inference_case1.py)."""
+    root, data_dir = corpus
+    exp = tmp_path / "ots"
+    common = [
+        "--set", "sample_rate=8000", "--set", "n_mels=80", "--set", "rs_len=1.0",
+        "--set", "encoder_blocks=1,1,1,1", "--set", "d_model=32",
+        "--set", "n_layers=2", "--set", "n_heads=2", "--set", "d_ff=64",
+    ]
+    rc = main([
+        "train", "--family", "ots_vad", "--train-dir", data_dir,
+        "--exp-dir", str(exp), *common,
+        "--set", "batch_size=2", "--set", "num_steps=3",
+        "--set", "schedule=const", "--set", "learning_rate=1e-4",
+        "--set", "log_every=1", "--set", "valid_every=100",
+    ])
+    assert rc == 0
+    losses = _losses(str(exp))
+    assert losses and np.isfinite(losses).all()
+
+    out = tmp_path / "ots.rttm"
+    rc = main([
+        "infer", "--family", "ots_vad", "--data-dir", data_dir,
+        "--exp-dir", str(exp), "--out", str(out), *common,
+    ])
+    assert rc == 0
+    assert out.exists()
