@@ -612,3 +612,41 @@ def load_eres2net_checkpoint(path: str, prefix: str = "") -> Tuple[dict, dict]:
         sd = sd["state_dict"]
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
     return eres2net_torch_to_flax(sd, prefix=prefix)
+
+
+def whisper_decoder_torch_to_flax(state_dict: Dict[str, "np.ndarray"], prefix: str = "") -> dict:
+    """Convert a transformers WhisperDecoder state_dict to flax params
+    (models/whisper_decoder.py). The lm head is tied to embed_tokens."""
+    params: dict = {}
+    attn_name = {"self_attn": "self_attn", "encoder_attn": "cross_attn"}
+    ln_name = {
+        "self_attn_layer_norm": "self_attn_ln",
+        "encoder_attn_layer_norm": "cross_attn_ln",
+        "final_layer_norm": "mlp_ln",
+    }
+    for name, w in state_dict.items():
+        if prefix:
+            if not name.startswith(prefix):
+                continue
+            name = name[len(prefix):]
+        w = _np(w)
+        parts = name.split(".")
+        if parts[0] == "embed_tokens":
+            _set(params, ("embed_tokens", "embedding"), w)
+        elif parts[0] == "embed_positions":
+            _set(params, ("embed_positions",), w)
+        elif parts[0] == "layer_norm":
+            _set(params, ("ln", "scale" if parts[1] == "weight" else "bias"), w)
+        elif parts[0] == "layers":
+            i, sub = parts[1], parts[2]
+            blk = f"block_{i}"
+            if sub in attn_name:
+                which = parts[3]
+                _set(params, (blk, attn_name[sub], which, "kernel" if parts[-1] == "weight" else "bias"),
+                     w.T if parts[-1] == "weight" else w)
+            elif sub in ln_name:
+                _set(params, (blk, ln_name[sub], "scale" if parts[-1] == "weight" else "bias"), w)
+            elif sub in ("fc1", "fc2"):
+                _set(params, (blk, sub, "kernel" if parts[-1] == "weight" else "bias"),
+                     w.T if parts[-1] == "weight" else w)
+    return params
