@@ -21,7 +21,7 @@ set -euo pipefail
 work=${WORK:-exp/hermetic_tsvad}
 rate=8000
 cli="python -m speaker_diarization_tpu.cli"
-families=${@:-m2f fs_eend eend_vc sond ssnd ots_vad tsvad3}
+families=${@:-m2f fs_eend eend_vc sond ssnd ots_vad tsvad3 tsvad_rev}
 
 run_family() {
   local fam=$1
@@ -144,6 +144,33 @@ run_family() {
       --threshold-sweep --ref "$work/test/data/rttm" \
       --set sample_rate=$rate --set n_mels=80 --set encoder_blocks=12,24,16 \
       --set rs_len=4.0 --set ts_len=3.0
+    ;;
+  tsvad_rev)
+    # reverb-aug variant: train-time convolution with image-source
+    # shoebox-room RIRs (data/room.py, genrir.py semantics)
+    python - <<'PYEOF'
+import os
+from speaker_diarization_tpu.data.simulate import synthesize_rir_corpus
+work = os.environ.get("WORK", "exp/hermetic_tsvad")
+d = os.path.join(work, "rir_image")
+if not os.path.exists(os.path.join(d, "wav.scp")):
+    synthesize_rir_corpus(d, n_rirs=8, rate=8000, seed=7, method="image_source")
+    print("made image-source RIRs:", d)
+PYEOF
+    $cli train --family tsvad --train-dir "$work/train/data" --valid-dir "$work/valid/data" \
+      --exp-dir "$work/tsvad_rev" --emb-store "$work/train/embs.npz,$work/valid/embs.npz" \
+      --encoder-ckpt "$work/encoder.npz" --noise-dir "$work/noise" \
+      --rir-dir "$work/rir_image" --resume \
+      --set sample_rate=$rate --set n_mels=80 --set encoder_blocks=12,24,16 \
+      --set rs_len=4.0 --set segment_shift=2.0 --set batch_size=64 \
+      --set num_steps=4000 --set optimizer=adam --set schedule=poly \
+      --set learning_rate=2e-4 --set warmup_steps=400 --set bf16=true \
+      --set log_every=20 --set valid_every=500
+    $cli infer --family tsvad --data-dir "$work/test/data" --exp-dir "$work/tsvad_rev" \
+      --emb-store "$work/test/embs.npz" --out "$work/hyp_tsvad_rev.rttm" \
+      --threshold-sweep --ref "$work/test/data/rttm" \
+      --set sample_rate=$rate --set n_mels=80 --set encoder_blocks=12,24,16 \
+      --set rs_len=4.0
     ;;
   *)
     echo "unknown family: $fam" >&2

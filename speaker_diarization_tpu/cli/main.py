@@ -679,6 +679,7 @@ def cmd_simulate(args) -> int:
         out = S.simulate_corpus(
             args.out, n_mixtures=args.n_mixtures, n_speakers=args.n_speakers,
             rate=args.rate, seed=args.seed, sil_scale=args.sil_scale,
+            with_rir=args.with_rir, rir_method=args.rir_method,
         )
     print(out)
     return 0
@@ -1255,6 +1256,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--source-dir", help="Kaldi dir of single-speaker utts (default: synthetic voices)")
     s.add_argument("--noise-dir")
     s.add_argument("--rir-dir")
+    s.add_argument("--with-rir", action="store_true", help="synthesize and apply RIRs (no --rir-dir needed)")
+    s.add_argument("--rir-method", choices=["decay", "image_source"], default="decay",
+                   help="synthetic RIRs: sparse decays, or shoebox image-source rooms (genrir.py semantics)")
     s.add_argument("--n-mixtures", type=int, default=10)
     s.add_argument("--n-speakers", type=int, default=2)
     s.add_argument("--sil-scale", type=float, default=2.0)

@@ -115,12 +115,29 @@ def synthesize_noise_corpus(out_dir: str, n_noises: int = 4, rate: int = 8000, d
     return out_dir
 
 
-def synthesize_rir_corpus(out_dir: str, n_rirs: int = 4, rate: int = 8000, seed: int = 2) -> str:
-    """Exponentially-decaying sparse-reflection RIRs."""
+def synthesize_rir_corpus(
+    out_dir: str, n_rirs: int = 4, rate: int = 8000, seed: int = 2,
+    method: str = "decay",
+) -> str:
+    """RIR corpus. method='decay': exponentially-decaying sparse
+    reflections (cheap). method='image_source': geometric shoebox-room
+    image-method RIRs with genrir.py's sampling semantics (room dims, mic
+    near center, Sabine-validated T60) — see data/room.py."""
     rng = np.random.default_rng(seed)
     wav_dir = os.path.join(out_dir, "wav")
     os.makedirs(wav_dir, exist_ok=True)
     wavs = {}
+    if method == "image_source":
+        from .room import RandomRoomSimulator
+
+        sim = RandomRoomSimulator(fs=rate, seed=seed)
+        for i in range(n_rirs):
+            h = sim.rirs(1)[0]
+            path = os.path.join(wav_dir, f"rir{i:02d}.wav")
+            wavio.write_wav(path, h, rate, subtype="FLOAT")
+            wavs[f"rir{i:02d}"] = path
+        kaldi_io.save_data_dir(out_dir, wavs=wavs)
+        return out_dir
     for i in range(n_rirs):
         t60 = rng.uniform(0.1, 0.4)
         n = int(t60 * rate)
@@ -628,6 +645,7 @@ def simulate_corpus(
     sil_scale: float = 2.0,
     with_noise: bool = True,
     with_rir: bool = False,
+    rir_method: str = "decay",  # decay | image_source (data/room.py)
     src_speakers: int = 8,
     utts_per_speaker: int = 8,
 ) -> str:
@@ -638,7 +656,7 @@ def simulate_corpus(
         os.path.join(out_dir, "src"), n_speakers=src_speakers, utts_per_speaker=utts_per_speaker, rate=rate, seed=seed
     )
     noise_dir = synthesize_noise_corpus(os.path.join(out_dir, "noise"), rate=rate, seed=seed + 1) if with_noise else None
-    rir_dir = synthesize_rir_corpus(os.path.join(out_dir, "rir"), rate=rate, seed=seed + 2) if with_rir else None
+    rir_dir = synthesize_rir_corpus(os.path.join(out_dir, "rir"), rate=rate, seed=seed + 2, method=rir_method) if with_rir else None
     specs = random_mixture_specs(
         src,
         noise_dir,
