@@ -178,10 +178,11 @@ def density_cluster(
 
         labels = hdbscan.HDBSCAN(min_cluster_size=min_cluster_size).fit_predict(Z)
     except ImportError:
-        from sklearn.cluster import DBSCAN
+        # the reference ALGORITHM without the external package: native
+        # HDBSCAN* (mutual-reachability MST → condensed tree → EOM)
+        from .hdbscan_native import hdbscan_cluster
 
-        d = np.median(np.linalg.norm(Z - Z.mean(0), axis=1)) * 0.5 + 1e-9
-        labels = DBSCAN(eps=d, min_samples=min(min_cluster_size, max(n // 4, 1))).fit_predict(Z)
+        labels = hdbscan_cluster(Z, min_cluster_size=min_cluster_size)
     labels = np.asarray(labels, np.int32)
     if (labels >= 0).any():
         cents = {c: Z[labels == c].mean(0) for c in np.unique(labels[labels >= 0])}
