@@ -7,22 +7,24 @@ Baseline (BASELINE.md): reference TS-VAD2 inference ≈ 1.02 it/s at batch 64 ×
 measure the same quantity — processed audio seconds per wall second per chip —
 for the flagship TS-VAD forward (batch 64 × 4 s chunks, bf16).
 
-Methodology (audited for round 3 — the number must reconcile physically):
-  * Every iteration gets a DIFFERENT input buffer (cycling a pool of
-    device-resident buffers with distinct contents), so no cache anywhere in
-    the stack — XLA, the runtime, or the experimental 'axon' relay — can
-    coalesce repeated executions of identical inputs.
-  * Model FLOPs are taken from XLA's own cost model
-    (`jit(fn).lower(...).compile().cost_analysis()['flops']`) and reported
-    alongside the implied MFU against TPU v5e bf16 peak (197 TFLOP/s).
-    An MFU > 1.0 is physically impossible; if the pipelined measurement
-    implies it, the measurement is rejected and the per-iteration number is
-    reported instead.
-  * Two timings: (1) pipelined — submit `iters` executions back-to-back and
-    block once at the end (steady-state throughput; hides per-call relay
-    latency, which is the right model for chunked batch inference);
-    (2) per-iteration — `block_until_ready` every call, median (an upper
-    bound on single-call latency including relay round-trip).
+Methodology (round-3 audit — the number must reconcile physically; the
+round-2 figures were fiction because `block_until_ready` does NOT block on
+the experimental 'axon' relay, so timings measured enqueue rate, not
+execution):
+  * Every iteration uses a DIFFERENT device-resident input buffer, so no
+    cache anywhere (XLA, runtime, relay) can coalesce repeated executions.
+  * Completion is proven by DATA DEPENDENCY: each forward's output is
+    summed into a scalar, the per-iteration scalars are added together, and
+    the timer stops only when that combined scalar's VALUE has arrived on
+    the host — it cannot exist before every forward has executed.
+  * Model FLOPs come from XLA's own cost model
+    (jit(fn).lower(...).compile().cost_analysis()['flops']); the implied
+    MFU against TPU v5e bf16 peak (197 TFLOP/s) is reported and any
+    measurement implying MFU > 1.0 is rejected outright.
+  * Two timings: pipelined (submit `iters` forwards, one final fetch —
+    steady-state throughput, the right model for chunked batch inference)
+    and per-iteration (fetch every call — an upper bound on single-call
+    latency including the relay round trip).
 """
 
 import json
@@ -58,36 +60,42 @@ def main():
 
     @jax.jit
     def forward(variables, audio, embs):
-        return jax.nn.sigmoid(model.apply(variables, audio, embs, T, train=False))
+        probs = jax.nn.sigmoid(model.apply(variables, audio, embs, T, train=False))
+        # scalar checksum: the data-dependency witness for completion
+        return probs, jnp.sum(probs)
 
     # model cost from XLA itself (judge-checkable): FLOPs per forward call
-    compiled = jax.jit(forward).lower(variables, audios[0], embss[0]).compile()
+    compiled = forward.lower(variables, audios[0], embss[0]).compile()
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops_per_call = float(ca.get("flops", 0.0))
 
-    # warmup/compile
-    forward(variables, audios[0], embss[0]).block_until_ready()
-    forward(variables, audios[1], embss[1]).block_until_ready()
+    # warmup/compile — fetch VALUES so compilation + first executions finish
+    float(forward(variables, audios[0], embss[0])[1])
+    float(forward(variables, audios[1], embss[1])[1])
 
-    # (1) pipelined throughput: distinct inputs, block once per repetition
+    # (1) pipelined throughput: submit iters forwards on distinct inputs,
+    # chain every checksum into one scalar, stop the clock when its value
+    # arrives — it cannot be computed before every forward has run.
     iters, reps = 20, 5
     pipelined_dts = []
     for _ in range(reps):
-        outs = []
         t0 = time.perf_counter()
+        acc = None
         for i in range(iters):
-            outs.append(forward(variables, audios[i % n_bufs], embss[i % n_bufs]))
-        for o in outs:
-            o.block_until_ready()
+            _, s = forward(variables, audios[i % n_bufs], embss[i % n_bufs])
+            acc = s if acc is None else acc + s
+        witness = float(acc)
         pipelined_dts.append(time.perf_counter() - t0)
+        assert np.isfinite(witness)
     pipelined_dt = statistics.median(pipelined_dts)
 
-    # (2) per-iteration latency cross-check: block every call, median
+    # (2) per-iteration latency: fetch each call's checksum (upper bound —
+    # includes one full relay round trip per call)
     lat = []
     for i in range(iters):
         t0 = time.perf_counter()
-        forward(variables, audios[i % n_bufs], embss[i % n_bufs]).block_until_ready()
+        float(forward(variables, audios[i % n_bufs], embss[i % n_bufs])[1])
         lat.append(time.perf_counter() - t0)
     lat_median = statistics.median(lat)
 
@@ -98,10 +106,15 @@ def main():
     def mfu(tp):
         return tp / audio_s * flops_per_call / V5E_BF16_PEAK_FLOPS if flops_per_call else 0.0
 
-    # sanity gate: a pipelined number implying >100% of bf16 peak is fiction
+    # sanity gate: >100% of bf16 peak is fiction — refuse to report it
     value, mode = tp_pipelined, "pipelined"
     if flops_per_call and mfu(tp_pipelined) > 1.0:
         value, mode = tp_periter, "per_iteration"
+        if mfu(value) > 1.0:
+            raise SystemExit(
+                f"benchmark rejected: implied MFU {mfu(value):.2f} > 1.0 of "
+                f"v5e bf16 peak — completion is not being observed"
+            )
 
     baseline = 256.0  # audio-s/s per V100 GPU (run_ts_vad2.sh:198,230)
     print(
@@ -121,6 +134,7 @@ def main():
                 "batch": B,
                 "chunk_s": chunk_s,
                 "distinct_input_buffers": n_bufs,
+                "completion_witness": "host value of chained output checksum",
             }
         )
     )
