@@ -1,0 +1,173 @@
+"""Re-measure every RESULTS.md device timing with completion witnesses.
+
+The experimental 'axon' relay does NOT block in `block_until_ready`, so any
+timing that didn't fetch a VALUE to the host measured enqueue rate, not
+execution (see bench.py). Every number here stops the clock only when the
+host holds a scalar data-dependent on all timed work.
+
+Usage: python scripts/microbench.py [section ...]
+sections: train step | scan | fbank | stream  (default: all)
+Prints one JSON line per measurement.
+"""
+
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, iters=10, reps=3):
+    """fn(i) must return a jax scalar; chained and fetched per rep."""
+    # warmup
+    float(fn(0))
+    dts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(iters):
+            s = fn(i)
+            acc = s if acc is None else acc + s
+        float(acc)
+        dts.append((time.perf_counter() - t0) / iters)
+    return statistics.median(dts)
+
+
+def bench_train_step():
+    from speaker_diarization_tpu.models import TSVADConfig, TSVADModel
+    from speaker_diarization_tpu.ops import losses as L
+    from speaker_diarization_tpu.train import Trainer, TrainerConfig
+
+    cfg = TSVADConfig()
+    model = TSVADModel(cfg=cfg, dtype=jnp.bfloat16)
+    B, secs = 64, 4
+    T = secs * cfg.label_rate
+    rng = np.random.default_rng(0)
+    n_bufs = 4
+    batches = [
+        dict(
+            audio=jnp.asarray(rng.standard_normal((B, secs * cfg.sample_rate)).astype(np.float32) * 0.1),
+            target_embs=jnp.asarray(rng.standard_normal((B, cfg.max_num_speaker, cfg.speaker_embed_dim)).astype(np.float32)),
+            labels=jnp.asarray((rng.random((B, T, cfg.max_num_speaker)) < 0.3).astype(np.float32)),
+        )
+        for _ in range(n_bufs)
+    ]
+
+    def loss_fn(params, mutable, b, rng_key, train):
+        logits, new_mut = model.apply(
+            {"params": params, **mutable}, b["audio"], b["target_embs"], T,
+            train=True, rngs={"dropout": rng_key}, mutable=["batch_stats"],
+        )
+        return L.standard_bce(logits, b["labels"]), ({}, dict(new_mut))
+
+    trainer = Trainer(loss_fn, TrainerConfig(schedule="const", learning_rate=1e-4, optimizer="adamw"), has_mutable=True)
+    variables = model.init(jax.random.PRNGKey(0), batches[0]["audio"], batches[0]["target_embs"], T)
+    state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
+
+    state_box = [state]
+
+    def step(i):
+        s2, aux = trainer._train_step(state_box[0], batches[i % n_bufs])
+        state_box[0] = s2
+        return aux["loss"]
+
+    dt = timeit(step, iters=10, reps=3)
+    print(json.dumps({
+        "bench": "tsvad_train_step_full", "ms_per_step": round(dt * 1e3, 2),
+        "audio_s_per_s": round(B * secs / dt, 1), "batch": B, "chunk_s": secs,
+        "witness": "loss value chained",
+    }))
+
+
+def bench_scan():
+    from speaker_diarization_tpu.kernels.selective_scan_pallas import selective_scan_pallas
+    from speaker_diarization_tpu.ops.mamba_scan import selective_scan as selective_scan_assoc
+
+    B, T, D, N = 64, 100, 768, 16
+    rng = np.random.default_rng(0)
+    args = dict(
+        x=jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32)),
+        delta=jnp.asarray(rng.random((B, T, D)).astype(np.float32) * 0.1),
+        A=jnp.asarray(-rng.random((D, N)).astype(np.float32)),
+        Bm=jnp.asarray(rng.standard_normal((B, T, N)).astype(np.float32)),
+        C=jnp.asarray(rng.standard_normal((B, T, N)).astype(np.float32)),
+        D=jnp.asarray(rng.standard_normal((D,)).astype(np.float32)),
+    )
+
+    fwd_p = jax.jit(lambda x, delta, A, Bm, C, D: jnp.sum(selective_scan_pallas(x, delta, A, Bm, C, D)))
+    fwd_a = jax.jit(lambda x, delta, A, Bm, C, D: jnp.sum(selective_scan_assoc(x, delta, A, Bm, C, D)))
+    for name, f in (("pallas_fwd", fwd_p), ("assoc_fwd", fwd_a)):
+        dt = timeit(lambda i, f=f: f(**args), iters=10, reps=3)
+        print(json.dumps({"bench": f"selective_scan_{name}", "ms": round(dt * 1e3, 2),
+                          "shape": [B, T, D, N], "witness": "sum value chained"}))
+
+    from speaker_diarization_tpu.kernels.selective_scan_pallas import selective_scan_fused
+
+    g_p = jax.jit(jax.grad(lambda x, delta, A, Bm, C, D: jnp.sum(selective_scan_fused(x, delta, A, Bm, C, D))))
+    g_a = jax.jit(jax.grad(lambda x, delta, A, Bm, C, D: jnp.sum(selective_scan_assoc(x, delta, A, Bm, C, D))))
+    for name, f in (("pallas_fwdbwd", g_p), ("assoc_fwdbwd", g_a)):
+        dt = timeit(lambda i, f=f: jnp.sum(f(**args)), iters=5, reps=3)
+        print(json.dumps({"bench": f"selective_scan_{name}", "ms": round(dt * 1e3, 2),
+                          "shape": [B, T, D, N], "witness": "grad-sum value chained"}))
+
+
+def bench_fbank():
+    from speaker_diarization_tpu.kernels.fbank_pallas import fbank_pallas
+    from speaker_diarization_tpu.ops.features import kaldi_fbank_jax
+
+    B, secs, rate = 64, 4, 16000
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((B, secs * rate)).astype(np.float32) * 0.1)
+    fused = jax.jit(lambda a: jnp.sum(fbank_pallas(a, sample_rate=rate)))
+    plain = jax.jit(lambda a: jnp.sum(kaldi_fbank_jax(a, sample_rate=rate)))
+    for name, f in (("pallas_fused", fused), ("xla_unfused", plain)):
+        dt = timeit(lambda i, f=f: f(audio), iters=20, reps=3)
+        print(json.dumps({"bench": f"fbank_{name}", "ms": round(dt * 1e3, 3),
+                          "batch_seconds": B * secs, "witness": "sum value chained"}))
+
+
+def bench_stream():
+    from speaker_diarization_tpu.models.streaming_tsvad import StreamingTSVADConfig, StreamingTSVADModel
+
+    import speaker_diarization_tpu.ops.features as F
+
+    cfg = StreamingTSVADConfig()
+    model = StreamingTSVADModel(cfg=cfg, dtype=jnp.bfloat16)
+    B = 8
+    chunk = cfg.chunk_size  # 25 Hz frames per chunk
+    rng = np.random.default_rng(0)
+    fbank_chunk = jnp.asarray(rng.standard_normal((B, 4 * chunk, cfg.feat_dim)).astype(np.float32))
+    embs = jnp.asarray(rng.standard_normal((B, cfg.max_num_speaker, cfg.speaker_embed_dim)).astype(np.float32))
+    samples = int(chunk / 25 * cfg.sample_rate)
+    audio = jnp.asarray(rng.standard_normal((B, samples)).astype(np.float32) * 0.1)
+    variables = model.init(jax.random.PRNGKey(0), audio, embs, chunk)
+    caches = model.apply(variables, B, method=model.streaming_state)
+
+    @jax.jit
+    def step(fb, embs, caches):
+        logits, new_caches = model.apply(variables, fb, embs, caches, method=model.streaming_step)
+        return jnp.sum(logits), new_caches
+
+    box = [caches]
+
+    def run(i):
+        s, c2 = step(fbank_chunk, embs, box[0])
+        box[0] = c2
+        return s
+
+    dt = timeit(run, iters=20, reps=3)
+    print(json.dumps({
+        "bench": "streaming_chunk_step", "ms_per_chunk": round(dt * 1e3, 3),
+        "chunk_s": chunk / 25.0, "batch": B,
+        "realtime_factor_per_stream": round(chunk / 25.0 / dt, 1),
+        "witness": "logit-sum value chained",
+    }))
+
+
+if __name__ == "__main__":
+    sections = sys.argv[1:] or ["train", "scan", "fbank", "stream"]
+    for s in sections:
+        {"train": bench_train_step, "scan": bench_scan, "fbank": bench_fbank, "stream": bench_stream}[s]()
