@@ -61,18 +61,18 @@ run_family() {
   eend_vc)
     $cli train --family eend_vc --train-dir "$work/train/data" \
       --valid-dir "$work/valid/data" --exp-dir "$work/eend_vc" --resume \
-      --set sample_rate=$rate --set n_speakers=2 --set n_mels=23 \
+      --set sample_rate=$rate --set n_speakers=3 --set n_mels=23 \
       --set d_model=256 --set d_ff=1024 --set n_layers=4 --set n_heads=4 \
-      --set chunk_frames=300 --set batch_size=32 --set num_steps=5000 \
+      --set chunk_frames=200 --set batch_size=32 --set num_steps=5000 \
       --set optimizer=adam --set schedule=noam --set learning_rate=1.0 \
       --set warmup_steps=1000 --set bf16=true \
       --set log_every=20 --set valid_every=500
     $cli infer --family eend_vc --data-dir "$work/test/data" \
       --exp-dir "$work/eend_vc" --out "$work/hyp_eend_vc.rttm" \
       --threshold-sweep --ref "$work/test/data/rttm" \
-      --set sample_rate=$rate --set n_speakers=2 --set n_mels=23 \
+      --set sample_rate=$rate --set n_speakers=3 --set n_mels=23 \
       --set d_model=256 --set d_ff=1024 --set n_layers=4 --set n_heads=4 \
-      --set chunk_frames=300
+      --set chunk_frames=200
     ;;
   sond)
     $cli train --family sond --train-dir "$work/train/data" \
