@@ -54,6 +54,14 @@ class M2FConfig:
     subsample: int = 10
     encoder_type: str = "conformer"  # conformer (reference) | transformer
     conv_kernel: int = 49  # conformer depthwise kernel (reference backbone.py)
+    # matcher: 'mask2former' (class+mask+dice costs) or 'fastinst'
+    # (additionally a location cost: a query whose peak-confidence time
+    # falls outside the target's active region pays location_weight —
+    # fastinst_matcher.py:135-142 semantics with the query location taken
+    # as argmax_t of its mask prediction; the IA-guided proposal head of
+    # full FastInst is not replicated)
+    matcher: str = "mask2former"
+    location_weight: float = 1000.0
 
 
 class DepthwiseSeparableSubsample10(nn.Module):
@@ -242,6 +250,17 @@ def m2f_criterion(outputs: dict, labels: jnp.ndarray, cfg: M2FConfig, frame_mask
         cost_dice = 1 - (num + 1) / (den + 1)
         cost_class = -jax.nn.sigmoid(class_logits)[:, :, None]
         cost = cfg.mask_weight * cost_mask + cfg.dice_weight * cost_dice + cfg.class_weight * cost_class
+        if cfg.matcher == "fastinst":
+            # location cost (fastinst_matcher.py:135-142): query location =
+            # its peak-confidence frame; pay when the target is inactive
+            # there (-[active] transposed → 0 when inside, else +weight)
+            loc = jnp.argmax(mask_logits, axis=-1)  # (B, Q)
+            inside = jnp.take_along_axis(
+                labels[:, None, :, :],  # (B, 1, S, T)
+                loc[:, :, None, None],  # (B, Q, 1, 1)
+                axis=-1,
+            )[..., 0]  # (B, Q, S)
+            cost = cost + cfg.location_weight * (1.0 - inside)
         # only match real speakers (rows with any activity)
         real = jnp.sum(labels, axis=-1) > 0  # (B, S)
         cost = jnp.where(real[:, None, :], cost, 1e6)

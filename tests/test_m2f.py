@@ -174,3 +174,64 @@ class TestBackboneModel:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < 0.7 * losses[0], losses[::6]
+
+
+class TestFastInstMatcher:
+    """matcher='fastinst': the location cost forces a query whose peak
+    confidence sits inside a target's active region to win that target."""
+
+    def test_location_cost_steers_assignment(self):
+        cfg = M2FConfig(
+            num_queries=4, d_model=16, n_heads=2, d_ff=32, enc_layers=1, dec_layers=1,
+            dropout=0.0, use_backbone=False, matcher="fastinst",
+            class_weight=0.0, mask_weight=0.0, dice_weight=0.0,
+        )
+        T, S, Q = 40, 2, 4
+        labels = np.zeros((1, S, T), np.float32)
+        labels[0, 0, :20] = 1
+        labels[0, 1, 20:] = 1
+        # queries 0/1 peak inside speaker 1's region, 2/3 inside speaker 0's
+        mask_logits = np.full((1, Q, T), -5.0, np.float32)
+        mask_logits[0, 0, 30] = 5.0
+        mask_logits[0, 1, 35] = 5.0
+        mask_logits[0, 2, 5] = 5.0
+        mask_logits[0, 3, 10] = 5.0
+        outputs = dict(
+            mask_logits=jnp.asarray(mask_logits),
+            class_logits=jnp.zeros((1, Q)),
+            aux_mask_logits=[], aux_class_logits=[],
+        )
+        # with zero class/mask/dice weights the location cost decides alone:
+        # speaker 0 must match query 2 or 3, speaker 1 must match 0 or 1
+        from speaker_diarization_tpu.ops.hungarian import hungarian_assign
+
+        loss, aux = m2f_criterion(outputs, jnp.asarray(labels), cfg)
+        assert np.isfinite(float(loss))
+        # reconstruct the assignment the criterion used via the same cost
+        p = jax.nn.sigmoid(outputs["mask_logits"])
+        loc = np.argmax(mask_logits, axis=-1)
+        inside = labels[0][:, loc[0]].T  # (Q, S)
+        cost = cfg.location_weight * (1.0 - inside)[None]
+        assign = np.asarray(hungarian_assign(jnp.asarray(cost).transpose(0, 2, 1)))[0]
+        assert assign[0] in (2, 3)  # speaker 0 ← a query peaking in [0, 20)
+        assert assign[1] in (0, 1)  # speaker 1 ← a query peaking in [20, 40)
+
+    def test_fastinst_trains(self):
+        cfg = M2FConfig(
+            num_queries=6, d_model=32, n_heads=2, d_ff=64, enc_layers=1, dec_layers=1,
+            dropout=0.0, use_backbone=False, matcher="fastinst",
+        )
+        model = EENDM2FModel(cfg=cfg, frontend=None)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 30, 23)).astype(np.float32))
+        labels = jnp.asarray((rng.random((2, 3, 30)) < 0.3).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+
+        def loss_fn(p):
+            out = model.apply(p, x)
+            return m2f_criterion(out, labels, cfg)[0]
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
