@@ -299,6 +299,10 @@ def _build_model(cfg: TrainCliConfig):
             frontend=fe,
             dtype=dtype,
         )
+    if cfg.family == "enhance":
+        from ..models.enhancer import EnhancerConfig, MaskDenoiser
+
+        return MaskDenoiser(cfg=EnhancerConfig(), dtype=dtype)
     if cfg.family == "spk":
         from ..models.spk_embed import SpeakerClassifier, SpkEmbedConfig
 
@@ -575,6 +579,30 @@ def cmd_train(args) -> int:
         state = trainer.init_state(variables["params"], mutable={"batch_stats": variables["batch_stats"]})
         make_train = lambda ep: _ssnd_batches(cfg.batch_size)  # noqa: E731
         make_valid = None
+    elif cfg.family == "enhance":
+        # learned denoiser on (clean, clean+noise) pairs from the
+        # single-speaker corpus (the trainable stand-in for the reference's
+        # external ZipEnhancer/GTCRN models)
+        from ..data.enhance import noisy_pair_batches
+        from ..models.enhancer import make_enhance_loss
+
+        if not args.noise_dir:
+            raise SystemExit("train --family enhance needs --noise-dir")
+        loss_fn = make_enhance_loss(model)
+        cfg, mesh = _fit_batch_to_mesh(cfg, mesh)
+        trainer = Trainer(loss_fn, tcfg, mesh=mesh)
+
+        def _pairs():
+            return noisy_pair_batches(
+                args.train_dir, args.noise_dir, rate=cfg.sample_rate,
+                dur_s=cfg.spk_dur, batch_size=cfg.batch_size, seed=cfg.seed,
+            )
+
+        b0 = next(_pairs())
+        params = model.init(jax.random.PRNGKey(cfg.seed), jnp.asarray(b0["noisy"]))
+        state = trainer.init_state(params)
+        make_train = lambda ep: _pairs()  # noqa: E731
+        make_valid = None
     elif cfg.family == "spk":
         # speaker-embedding pretraining (AAM-softmax over corpus speakers) —
         # the standalone replacement for the reference's external
@@ -811,6 +839,22 @@ def cmd_export_vad(args) -> int:
     params = state["params"] if isinstance(state, dict) else state.params
     save_vad_params(args.out, jax.device_get(params))
     logging.info("exported VAD params from step %s", mgr.latest_step() if args.step is None else args.step)
+    print(args.out)
+    return 0
+
+
+def cmd_export_enhancer(args) -> int:
+    """enhance-family checkpoint → npz usable as dataset enhancer `neural:<path>`."""
+    import jax
+
+    from ..models.enhancer import EnhancerConfig, save_enhancer
+    from ..train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(args.exp_dir)
+    state = mgr.restore(args.step)
+    params = state["params"] if isinstance(state, dict) else state.params
+    save_enhancer(args.out, jax.device_get(params), EnhancerConfig())
+    logging.info("exported enhancer from step %s", mgr.latest_step() if args.step is None else args.step)
     print(args.out)
     return 0
 
@@ -1279,7 +1323,7 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train", help="train a diarization model")
     t.add_argument(
         "--family",
-        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "tsvad_streaming", "tsvad3", "ots_vad", "vad", "ssnd", "sond", "spk"],
+        choices=["eend", "eend_eda", "fs_eend", "eend_vc", "eend_m2f", "tsvad", "tsvad_streaming", "tsvad3", "ots_vad", "vad", "ssnd", "sond", "spk", "enhance"],
     )
     t.add_argument("--config", help="YAML config (TrainCliConfig fields)")
     t.add_argument("--set", action="append", default=[], help="dotted overrides key=value")
@@ -1347,6 +1391,12 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--step", type=int)
     ev.add_argument("--out", required=True)
     ev.set_defaults(fn=cmd_export_vad)
+
+    ee = sub.add_parser("export-enhancer", help="export trained denoiser for dataset enhancer neural:<path>")
+    ee.add_argument("--exp-dir", required=True)
+    ee.add_argument("--step", type=int)
+    ee.add_argument("--out", required=True)
+    ee.set_defaults(fn=cmd_export_enhancer)
 
     sc = sub.add_parser("score", help="score hypothesis RTTM (DER + optional CDER)")
     sc.add_argument("--ref", required=True)

@@ -65,12 +65,55 @@ def spectral_gate_denoise(
 
 
 def get_enhancer(name_or_fn) -> Enhancer:
-    """'spectral_gate' | callable → Enhancer."""
+    """'spectral_gate' | 'neural:<ckpt.npz>' | callable → Enhancer."""
     if callable(name_or_fn):
         return name_or_fn
     if name_or_fn == "spectral_gate":
         return spectral_gate_denoise
+    if isinstance(name_or_fn, str) and name_or_fn.startswith("neural:"):
+        # trained MaskDenoiser (train --family enhance → export-enhancer)
+        from ..models.enhancer import neural_enhancer_fn
+
+        return neural_enhancer_fn(name_or_fn.split(":", 1)[1])
     raise ValueError(f"unknown enhancer: {name_or_fn!r}")
+
+
+def noisy_pair_batches(
+    src_dir: str,
+    noise_dir: str,
+    rate: int,
+    dur_s: float = 2.0,
+    batch_size: int = 16,
+    snr_range=(0.0, 15.0),
+    seed: int = 0,
+):
+    """Endless (clean, noisy) training pairs for the learned denoiser:
+    random crops of single-speaker utterances + noise at a random SNR."""
+    rng = np.random.default_rng(seed)
+    n = int(dur_s * rate)
+    clean_wavs = sorted(kaldi_io.load_scp(os.path.join(src_dir, "wav.scp")).values())
+    noise_wavs = sorted(kaldi_io.load_scp(os.path.join(noise_dir, "wav.scp")).values())
+    cache: Dict[str, np.ndarray] = {}
+
+    def crop(path):
+        if path not in cache:
+            audio, r = wavio.load_wav_maybe_piped(path)
+            assert r == rate
+            cache[path] = audio.astype(np.float32)
+        a = cache[path]
+        if len(a) <= n:
+            return np.pad(a, (0, n - len(a)))
+        st = rng.integers(0, len(a) - n)
+        return a[st : st + n]
+
+    while True:
+        clean = np.stack([crop(clean_wavs[rng.integers(len(clean_wavs))]) for _ in range(batch_size)])
+        noise = np.stack([crop(noise_wavs[rng.integers(len(noise_wavs))]) for _ in range(batch_size)])
+        snr = rng.uniform(*snr_range, size=(batch_size, 1)).astype(np.float32)
+        cp = np.sqrt(np.mean(clean**2, axis=-1, keepdims=True) + 1e-12)
+        npow = np.sqrt(np.mean(noise**2, axis=-1, keepdims=True) + 1e-12)
+        scaled = noise / npow * cp * (10.0 ** (-snr / 20.0))
+        yield dict(clean=clean, noisy=clean + scaled)
 
 
 def enhance_corpus(
