@@ -181,5 +181,9 @@ PYEOF
 
 for fam in $families; do
   echo "=== leaderboard family: $fam ==="
-  run_family "$fam"
+  if run_family "$fam"; then
+    echo "=== family $fam DONE ==="
+  else
+    echo "=== family $fam FAILED (continuing) ==="
+  fi
 done
