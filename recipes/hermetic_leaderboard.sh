@@ -21,6 +21,8 @@ set -euo pipefail
 work=${WORK:-exp/hermetic_tsvad}
 rate=8000
 cli="python -m speaker_diarization_tpu.cli"
+steps=${STEPS:-4000}
+steps5=${STEPS5:-5000}
 families=${@:-m2f fs_eend eend_vc sond ssnd ots_vad tsvad3 tsvad_rev}
 
 run_family() {
@@ -31,7 +33,7 @@ run_family() {
       --valid-dir "$work/valid/data" --exp-dir "$work/m2f" --resume \
       --set sample_rate=$rate --set n_speakers=3 \
       --set d_model=256 --set d_ff=1024 --set n_layers=4 --set n_heads=4 \
-      --set chunk_frames=500 --set batch_size=16 --set num_steps=4000 \
+      --set chunk_frames=500 --set batch_size=16 --set num_steps=$steps \
       --set optimizer=adam --set schedule=poly --set learning_rate=2e-4 \
       --set warmup_steps=400 --set bf16=true \
       --set log_every=20 --set valid_every=500
@@ -47,7 +49,7 @@ run_family() {
       --valid-dir "$work/valid/data" --exp-dir "$work/fs_eend" --resume \
       --set sample_rate=$rate --set n_speakers=3 --set n_mels=23 \
       --set d_model=256 --set d_ff=1024 --set n_layers=4 --set n_heads=4 \
-      --set chunk_frames=500 --set batch_size=16 --set num_steps=5000 \
+      --set chunk_frames=500 --set batch_size=16 --set num_steps=$steps5 \
       --set optimizer=adam --set schedule=noam --set learning_rate=1.0 \
       --set warmup_steps=1000 --set bf16=true \
       --set log_every=20 --set valid_every=500
@@ -63,7 +65,7 @@ run_family() {
       --valid-dir "$work/valid/data" --exp-dir "$work/eend_vc" --resume \
       --set sample_rate=$rate --set n_speakers=3 --set n_mels=23 \
       --set d_model=256 --set d_ff=1024 --set n_layers=4 --set n_heads=4 \
-      --set chunk_frames=200 --set batch_size=32 --set num_steps=5000 \
+      --set chunk_frames=200 --set batch_size=32 --set num_steps=$steps5 \
       --set optimizer=adam --set schedule=noam --set learning_rate=1.0 \
       --set warmup_steps=1000 --set bf16=true \
       --set log_every=20 --set valid_every=500
@@ -81,7 +83,7 @@ run_family() {
       --set sample_rate=$rate --set n_mels=80 --set n_speakers=4 \
       --set rs_len=4.0 --set segment_shift=2.0 --set d_model=256 \
       --set encoder_blocks=2,2,2,2 \
-      --set batch_size=16 --set num_steps=4000 \
+      --set batch_size=16 --set num_steps=$steps \
       --set optimizer=adam --set schedule=poly --set learning_rate=2e-4 \
       --set warmup_steps=400 --set bf16=true \
       --set log_every=20 --set valid_every=500
@@ -97,7 +99,7 @@ run_family() {
       --exp-dir "$work/ssnd" --resume \
       --set sample_rate=$rate --set rs_len=4.0 \
       --set encoder_blocks=4,8,4 \
-      --set batch_size=16 --set num_steps=4000 \
+      --set batch_size=16 --set num_steps=$steps \
       --set optimizer=adam --set schedule=poly --set learning_rate=2e-4 \
       --set warmup_steps=400 --set bf16=true \
       --set log_every=20 --set valid_every=100000
@@ -114,7 +116,7 @@ run_family() {
       --set rs_len=4.0 --set segment_shift=2.0 \
       --set encoder_blocks=2,2,2,2 --set d_model=192 --set n_layers=4 \
       --set n_heads=4 --set d_ff=512 \
-      --set batch_size=16 --set num_steps=4000 \
+      --set batch_size=16 --set num_steps=$steps \
       --set optimizer=adam --set schedule=poly --set learning_rate=2e-4 \
       --set warmup_steps=400 --set bf16=true \
       --set log_every=20 --set valid_every=500
@@ -133,7 +135,7 @@ run_family() {
       --encoder-ckpt "$work/encoder.npz" --noise-dir "$work/noise" \
       --set sample_rate=$rate --set n_mels=80 --set encoder_blocks=12,24,16 \
       --set rs_len=4.0 --set ts_len=3.0 --set segment_shift=2.0 \
-      --set batch_size=16 --set num_steps=4000 \
+      --set batch_size=16 --set num_steps=$steps \
       --set optimizer=adam --set schedule=poly --set learning_rate=2e-4 \
       --set warmup_steps=400 --set bf16=true \
       --set log_every=20 --set valid_every=500
@@ -163,7 +165,7 @@ PYEOF
       --rir-dir "$work/rir_image" --resume \
       --set sample_rate=$rate --set n_mels=80 --set encoder_blocks=12,24,16 \
       --set rs_len=4.0 --set segment_shift=2.0 --set batch_size=64 \
-      --set num_steps=4000 --set optimizer=adam --set schedule=poly \
+      --set num_steps=$steps --set optimizer=adam --set schedule=poly \
       --set learning_rate=2e-4 --set warmup_steps=400 --set bf16=true \
       --set log_every=20 --set valid_every=500
     $cli infer --family tsvad --data-dir "$work/test/data" --exp-dir "$work/tsvad_rev" \

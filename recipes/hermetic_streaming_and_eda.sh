@@ -18,6 +18,8 @@ stage=${1:-1}
 stop_stage=${2:-6}
 work=${WORK:-exp/hermetic_tsvad}
 rate=8000
+steps=${STEPS:-4000}
+steps5=${STEPS5:-5000}
 mels=80
 
 cli="python -m speaker_diarization_tpu.cli"
@@ -32,7 +34,7 @@ if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
     --emb-store "$work/train/embs.npz,$work/valid/embs.npz" \
     --noise-dir "$work/noise" --resume \
     "${stream_cfg[@]}" \
-    --set segment_shift=2.0 --set batch_size=64 --set num_steps=4000 \
+    --set segment_shift=2.0 --set batch_size=64 --set num_steps=$steps \
     --set optimizer=adam --set schedule=poly --set learning_rate=2e-4 \
     --set warmup_steps=400 --set bf16=true \
     --set log_every=20 --set valid_every=500
@@ -54,7 +56,7 @@ if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
   $cli train --family eend_eda --train-dir "$work/train/data" \
     --valid-dir "$work/valid/data" --exp-dir "$work/eda" --resume \
     "${eda_cfg[@]}" \
-    --set batch_size=32 --set num_steps=5000 \
+    --set batch_size=32 --set num_steps=$steps5 \
     --set optimizer=adam --set schedule=noam --set warmup_steps=1000 \
     --set learning_rate=1.0 --set bf16=true \
     --set log_every=20 --set valid_every=500
@@ -79,7 +81,7 @@ if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
     --exp-dir "$work/tsvad_mamba2" --emb-store "$work/train/embs.npz,$work/valid/embs.npz" \
     --encoder-ckpt "$work/encoder.npz" --noise-dir "$work/noise" --resume \
     "${mamba_cfg[@]}" \
-    --set segment_shift=2.0 --set batch_size=64 --set num_steps=4000 \
+    --set segment_shift=2.0 --set batch_size=64 --set num_steps=$steps \
     --set optimizer=adam --set schedule=poly --set learning_rate=2e-4 \
     --set warmup_steps=400 --set bf16=true \
     --set log_every=20 --set valid_every=500
