@@ -1449,9 +1449,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compilation_cache():
+    """Persist XLA executables across CLI invocations.
+
+    Recipe runs (recipes/*.sh) invoke this CLI once per stage; without a
+    persistent cache every invocation re-pays the full XLA compile (minutes
+    for the large encoders when the TPU sits behind a relay). Opt out with
+    SDT_NO_COMPILE_CACHE=1; override the location with SDT_COMPILE_CACHE.
+    """
+    if os.environ.get("SDT_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "SDT_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "sdt_jax_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization — never fail the CLI
+        logging.getLogger(__name__).warning("compilation cache disabled: %s", e)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _setup_logging(args.verbose)
+    _enable_compilation_cache()
     return args.fn(args)
 
 

@@ -169,10 +169,11 @@ def density_cluster(
         reducer = umap.UMAP(n_components=min(n_components, n - 2), random_state=seed, metric="cosine")
         Z = reducer.fit_transform(X)
     except ImportError:
-        from sklearn.decomposition import PCA
+        # the reference ALGORITHM without the external package: native UMAP
+        # (smooth-kNN fuzzy graph → spectral init → SGD cross-entropy)
+        from .umap_native import umap_embed
 
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        Z = PCA(n_components=min(n_components, n - 1, X.shape[1])).fit_transform(Xn)
+        Z = umap_embed(X, n_components=min(n_components, n - 2), metric="cosine", seed=seed)
     try:
         import hdbscan
 
