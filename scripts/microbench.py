@@ -170,7 +170,45 @@ def bench_stream():
     }))
 
 
+def bench_parts():
+    """Where flagship inference time goes: full forward vs encoder-only.
+
+    Both witness-timed; backends+head cost is the difference. XLA
+    cost_analysis FLOPs per part give the per-part MFU so optimization
+    effort lands where the time (not the FLOPs) is.
+    """
+    from speaker_diarization_tpu.models import TSVADConfig, TSVADModel
+
+    cfg = TSVADConfig()
+    model = TSVADModel(cfg=cfg, dtype=jnp.bfloat16)
+    B, secs = 64, 4
+    T = secs * cfg.label_rate
+    rng = np.random.default_rng(0)
+    n_bufs = 4
+    audios = [jnp.asarray(rng.standard_normal((B, secs * cfg.sample_rate)).astype(np.float32) * 0.1) for _ in range(n_bufs)]
+    embs = jnp.asarray(rng.standard_normal((B, cfg.max_num_speaker, cfg.speaker_embed_dim)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), audios[0], embs, T)
+
+    full = jax.jit(lambda a: jnp.sum(model.apply(variables, a, embs, T, train=False)))
+    enc = jax.jit(lambda a: jnp.sum(model.apply(variables, a, T, train=False, method=model.encode_speech)))
+    for name, f in (("full_forward", full), ("encoder_only", enc)):
+        try:
+            ca = f.lower(audios[0]).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        dt = timeit(lambda i, f=f: f(audios[i % n_bufs]), iters=10, reps=3)
+        print(json.dumps({
+            "bench": f"tsvad_infer_{name}", "ms": round(dt * 1e3, 2),
+            "batch": B, "chunk_s": secs, "gflops_per_call": round(flops / 1e9, 1),
+            "mfu_vs_v5e_bf16_peak": round(flops / dt / 197e12, 4) if flops else None,
+            "witness": "output-sum value chained",
+        }))
+
+
 if __name__ == "__main__":
-    sections = sys.argv[1:] or ["train", "scan", "fbank", "stream"]
+    sections = sys.argv[1:] or ["train", "parts", "scan", "fbank", "stream"]
     for s in sections:
-        {"train": bench_train_step, "scan": bench_scan, "fbank": bench_fbank, "stream": bench_stream}[s]()
+        {"train": bench_train_step, "parts": bench_parts, "scan": bench_scan,
+         "fbank": bench_fbank, "stream": bench_stream}[s]()
