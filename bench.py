@@ -28,6 +28,7 @@ execution):
 """
 
 import json
+import os
 import statistics
 import time
 
@@ -43,7 +44,9 @@ def main():
 
     cfg = TSVADConfig()  # full-size: CAM++ (12,24,16) + 2×2-layer d384 backends
     model = TSVADModel(cfg=cfg, dtype=jnp.bfloat16)
-    B, chunk_s = 64, 4.0
+    # batch 64 matches the reference's measured config (run_ts_vad2.sh:198);
+    # BENCH_BATCH lets the idle-chip run also record batch-scaling points.
+    B, chunk_s = int(os.environ.get("BENCH_BATCH", "64")), 4.0
     T = int(chunk_s * cfg.label_rate)
     rng = np.random.default_rng(0)
 
