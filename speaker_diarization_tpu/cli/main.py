@@ -1293,6 +1293,12 @@ def cmd_infer(args) -> int:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="speaker_diarization_tpu")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument(
+        "--platform",
+        default=os.environ.get("SDT_PLATFORM"),
+        help="force the JAX backend (e.g. 'cpu', 'tpu'); overrides the "
+        "environment's pinned platform. Also settable via SDT_PLATFORM.",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("simulate", help="build a simulated multi-talker corpus")
@@ -1476,6 +1482,13 @@ def _enable_compilation_cache():
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _setup_logging(args.verbose)
+    if args.platform:
+        # Must run before any backend initialization. The runtime env may pin
+        # JAX_PLATFORMS at interpreter start (remote-TPU plugin), so an env
+        # var alone cannot force CPU — jax.config can.
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     _enable_compilation_cache()
     return args.fn(args)
 
