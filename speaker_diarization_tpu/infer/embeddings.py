@@ -77,8 +77,16 @@ class EmbeddingStore:
 
     @classmethod
     def load(cls, path: str) -> "EmbeddingStore":
-        z = np.load(path)
-        return cls({k: z[k] for k in z.files})
+        """Load a store; a comma-separated path list merges several stores
+        (train+valid splits are stored separately but consumed jointly)."""
+        data = {}
+        for p in str(path).split(","):
+            p = p.strip()
+            if not p:
+                continue
+            z = np.load(p)
+            data.update({k: z[k] for k in z.files})
+        return cls(data)
 
     @property
     def dim(self) -> int:
