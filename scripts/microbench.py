@@ -109,10 +109,11 @@ def bench_scan():
 
     from speaker_diarization_tpu.kernels.selective_scan_pallas import selective_scan_fused
 
+    pos = (args["x"], args["delta"], args["A"], args["Bm"], args["C"], args["D"])
     g_p = jax.jit(jax.grad(lambda x, delta, A, Bm, C, D: jnp.sum(selective_scan_fused(x, delta, A, Bm, C, D))))
     g_a = jax.jit(jax.grad(lambda x, delta, A, Bm, C, D: jnp.sum(selective_scan_assoc(x, delta, A, Bm, C, D))))
     for name, f in (("pallas_fwdbwd", g_p), ("assoc_fwdbwd", g_a)):
-        dt = timeit(lambda i, f=f: jnp.sum(f(**args)), iters=5, reps=3)
+        dt = timeit(lambda i, f=f: jnp.sum(f(*pos)), iters=5, reps=3)
         print(json.dumps({"bench": f"selective_scan_{name}", "ms": round(dt * 1e3, 2),
                           "shape": [B, T, D, N], "witness": "grad-sum value chained"}))
 
