@@ -10,9 +10,10 @@ Training: Hungarian matching on (class, mask BCE, dice) costs
 (criterion.py:176 SetCriterion, matchers) with auxiliary per-layer losses.
 
 TPU-first: masks are scored over all frames (no point sampling — T ≤ 2000
-1-D frames, unlike 2-D images), the matcher runs via pure_callback, and
-the masked cross-attention uses the previous layer's mask prediction as an
-attention bias with static shapes.
+1-D frames, unlike 2-D images), the Hungarian matcher runs ON DEVICE
+(exact JV solver in lax control flow, ops/hungarian.py — no host
+callbacks), and the masked cross-attention uses the previous layer's mask
+prediction as an attention bias with static shapes.
 """
 
 from __future__ import annotations
