@@ -773,7 +773,12 @@ def cmd_cluster(args) -> int:
         from ..utils.torch_convert import load_campplus_checkpoint
 
         camp = CAMPPlus()
-        if args.encoder_ckpt:
+        if args.encoder_ckpt and args.encoder_ckpt.endswith(".npz"):
+            # our own export-encoder format (hermetic self-trained path)
+            from ..models.spk_embed import load_encoder
+
+            camp, variables = load_encoder(args.encoder_ckpt)
+        elif args.encoder_ckpt:
             params, stats = load_campplus_checkpoint(args.encoder_ckpt)
             variables = {"params": params, "batch_stats": stats}
         else:
