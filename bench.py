@@ -40,6 +40,18 @@ V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 matmul throughput
 
 
 def main():
+    # persist XLA executables across invocations (compile time is not part
+    # of the measurement; the relay makes first compiles minutes long)
+    try:
+        import os as _os
+
+        cache = _os.path.join(_os.path.expanduser("~"), ".cache", "sdt_jax_cache")
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from speaker_diarization_tpu.models import TSVADConfig, TSVADModel
 
     cfg = TSVADConfig()  # full-size: CAM++ (12,24,16) + 2×2-layer d384 backends
