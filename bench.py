@@ -43,14 +43,12 @@ def main():
     # persist XLA executables across invocations (compile time is not part
     # of the measurement; the relay makes first compiles minutes long)
     try:
-        import os as _os
-
-        cache = _os.path.join(_os.path.expanduser("~"), ".cache", "sdt_jax_cache")
-        _os.makedirs(cache, exist_ok=True)
+        cache = os.path.join(os.path.expanduser("~"), ".cache", "sdt_jax_cache")
+        os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except (AttributeError, ValueError, OSError) as e:
+        print(f"# warning: compilation cache disabled: {e}", flush=True)
 
     from speaker_diarization_tpu.models import TSVADConfig, TSVADModel
 

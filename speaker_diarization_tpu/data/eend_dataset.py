@@ -181,6 +181,10 @@ def batch_iterator(
     epoch: int = 0,
 ) -> Iterator[dict]:
     """Minibatch iterator yielding stacked numpy dicts with static shapes."""
+    from .parallel_fetch import fetch_items
+
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(epoch)
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
@@ -188,7 +192,7 @@ def batch_iterator(
     stop = n - (n % batch_size) if drop_last else n
     for i in range(0, stop, batch_size):
         idxs = order[i : i + batch_size]
-        items = [dataset[j] for j in idxs]
+        items = fetch_items(dataset, idxs)
         if len(items) < batch_size:  # pad final batch with repeats, mask frames off
             pad = [dict(items[0]) for _ in range(batch_size - len(items))]
             for p in pad:

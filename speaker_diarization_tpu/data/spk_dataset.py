@@ -35,7 +35,10 @@ class SpeakerUttDataset:
         self.rate = rate
         self.samples = int(dur * rate)
         self.is_train = is_train
-        self.rng = random.Random(seed)
+        # per-item RNG from (seed, epoch, idx): deterministic under the
+        # parallel fetcher (data/parallel_fetch.py) in any thread order
+        self.seed = seed
+        self._epoch = 0
         self.aug_prob = aug_prob
         self.noise_snrs = noise_snrs
         # additive-noise augmentation: without it, embeddings of targets cut
@@ -73,6 +76,9 @@ class SpeakerUttDataset:
     def __len__(self):
         return len(self.utts)
 
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
     def _load(self, rec: str) -> np.ndarray:
         if rec not in self._cache:
             audio, rate = load_wav_maybe_piped(self.kd.wavs[rec])
@@ -86,6 +92,7 @@ class SpeakerUttDataset:
 
     def __getitem__(self, idx: int):
         utt, rec, st, et = self.utts[idx]
+        rng = random.Random((self.seed * 1_000_003 + self._epoch) * 1_000_003 + idx)
         audio = self._load(rec)
         if st is not None:
             audio = audio[int(st * self.rate): int(et * self.rate)]
@@ -93,25 +100,25 @@ class SpeakerUttDataset:
         if len(audio) < n:
             audio = np.tile(audio, n // max(len(audio), 1) + 1)
         if self.is_train:
-            off = self.rng.randint(0, len(audio) - n)
+            off = rng.randint(0, len(audio) - n)
         else:
             off = (len(audio) - n) // 2
         crop = audio[off: off + n]
-        if self._noises and self.rng.random() < self.aug_prob:
-            crop = self._add_noise(crop)
+        if self._noises and rng.random() < self.aug_prob:
+            crop = self._add_noise(rng, crop)
         return dict(
             audio=crop,
             label=np.int32(self.spk_index[self.kd.utt2spk[utt]]),
         )
 
-    def _add_noise(self, audio: np.ndarray) -> np.ndarray:
-        noise = self._noises[self.rng.randrange(len(self._noises))]
+    def _add_noise(self, rng: random.Random, audio: np.ndarray) -> np.ndarray:
+        noise = self._noises[rng.randrange(len(self._noises))]
         n = len(audio)
         if len(noise) < n:
             noise = np.tile(noise, n // max(len(noise), 1) + 1)
-        off = self.rng.randint(0, len(noise) - n)
+        off = rng.randint(0, len(noise) - n)
         noise = noise[off: off + n]
-        snr = self.rng.uniform(*self.noise_snrs)
+        snr = rng.uniform(*self.noise_snrs)
         ap = np.mean(audio ** 2) + 1e-12
         np_ = np.mean(noise ** 2) + 1e-12
         scale = np.sqrt(ap / (np_ * 10.0 ** (snr / 10.0)))
@@ -121,11 +128,15 @@ class SpeakerUttDataset:
 def spk_batch_iterator(
     ds: SpeakerUttDataset, batch_size: int, shuffle: bool = True, seed: int = 0, epoch: int = 0
 ) -> Iterator[dict]:
+    from .parallel_fetch import fetch_items
+
+    if hasattr(ds, "set_epoch"):
+        ds.set_epoch(epoch)
     order = list(range(len(ds)))
     if shuffle:
         random.Random(seed * 10007 + epoch).shuffle(order)
     for i in range(0, len(order) - batch_size + 1, batch_size):
-        items = [ds[j] for j in order[i: i + batch_size]]
+        items = fetch_items(ds, order[i: i + batch_size])
         yield dict(
             audio=np.stack([it["audio"] for it in items]),
             label=np.stack([it["label"] for it in items]),

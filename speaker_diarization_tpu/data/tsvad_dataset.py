@@ -71,8 +71,11 @@ class TSVADChunkDataset:
         self.max_speakers = max_speakers
         self.zero_ratio = zero_ratio
         self.is_train = is_train
-        self.rng = random.Random(seed)
-        self.np_rng = np.random.default_rng(seed)
+        # Per-item RNG is derived from (seed, epoch, index) inside
+        # __getitem__ so parallel fetch (data/parallel_fetch.py) is
+        # deterministic regardless of thread completion order.
+        self.seed = seed
+        self._epoch = 0
         self.aug_prob = aug_prob
 
         rttm_path = rttm_path or os.path.join(data_dir, "rttm")
@@ -121,12 +124,20 @@ class TSVADChunkDataset:
     def __len__(self):
         return len(self.chunks)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed augmentation/sampling per epoch (torch DistributedSampler
+        semantics): same (seed, epoch, idx) → same item, any thread order."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, idx: int) -> random.Random:
+        return random.Random((self.seed * 1_000_003 + self._epoch) * 1_000_003 + idx)
+
     @property
     def chunk_samples(self) -> int:
         return int(self.chunk_frames / self.label_rate * self.rate)
 
     # ------------------------------------------------------------------
-    def _target_embedding(self, rec: str, spk: str) -> np.ndarray:
+    def _target_embedding(self, rng: random.Random, rec: str, spk: str) -> np.ndarray:
         if self.embs is None:  # enrollment-free families (OTS-VAD)
             return np.zeros((192,), np.float32)
         m = self.embs.get(rec, spk) if self.embs.has(rec, spk) else None
@@ -140,43 +151,43 @@ class TSVADChunkDataset:
         if m is None or len(m) == 0:
             return np.zeros((self.embs.dim,), np.float32)
         if self.is_train:
-            return m[self.rng.randrange(len(m))]
+            return m[rng.randrange(len(m))]
         return m.mean(axis=0)
 
-    def _distractor_embedding(self, exclude: List[str]) -> Optional[np.ndarray]:
+    def _distractor_embedding(self, rng: random.Random, exclude: List[str]) -> Optional[np.ndarray]:
         if self.embs is None:
             return None
         pool = [s for s in self.all_speakers if s not in exclude]
         if not pool:
             return None
-        spk = self.rng.choice(pool)
+        spk = rng.choice(pool)
         for r, spks in self.embs.speakers().items():
             if spk in spks:
                 m = self.embs.get(r, spk)
                 if len(m):
-                    return m[self.rng.randrange(len(m))] if self.is_train else m.mean(axis=0)
+                    return m[rng.randrange(len(m))] if self.is_train else m.mean(axis=0)
         return None
 
-    def _augment(self, audio: np.ndarray) -> np.ndarray:
-        if not self.is_train or self.rng.random() > self.aug_prob:
+    def _augment(self, rng: random.Random, audio: np.ndarray) -> np.ndarray:
+        if not self.is_train or rng.random() > self.aug_prob:
             return audio
         from .wav import load_wav_maybe_piped
 
-        if self._rirs and self.rng.random() < 0.5:
-            rir, _ = load_wav_maybe_piped(self.rng.choice(list(self._rirs.values())))
+        if self._rirs and rng.random() < 0.5:
+            rir, _ = load_wav_maybe_piped(rng.choice(list(self._rirs.values())))
             from scipy.signal import fftconvolve
 
             wet = fftconvolve(audio, rir)[: len(audio)]
             p = np.sqrt((np.sum(audio**2) + 1e-12) / (np.sum(wet**2) + 1e-12))
             audio = (wet * p).astype(np.float32)
         if self._noises:
-            noise, _ = load_wav_maybe_piped(self.rng.choice(list(self._noises.values())))
+            noise, _ = load_wav_maybe_piped(rng.choice(list(self._noises.values())))
             if len(noise) < len(audio):
                 noise = np.pad(noise, (0, len(audio) - len(noise)), "wrap")
             else:
-                off = self.rng.randrange(max(len(noise) - len(audio), 1))
+                off = rng.randrange(max(len(noise) - len(audio), 1))
                 noise = noise[off : off + len(audio)]
-            snr = self.rng.uniform(5.0, 20.0)
+            snr = rng.uniform(5.0, 20.0)
             sp = np.mean(audio**2) + 1e-12
             npow = np.mean(noise**2) + 1e-12
             audio = audio + noise * np.sqrt(10 ** (-snr / 10) * sp / npow)
@@ -185,6 +196,7 @@ class TSVADChunkDataset:
     # ------------------------------------------------------------------
     def __getitem__(self, idx: int) -> dict:
         ch = self.chunks[idx]
+        rng = self._item_rng(idx)
         lr = self.label_rate
         start_sample = int(ch.start_frame / lr * self.rate)
         want = self.chunk_samples
@@ -192,7 +204,7 @@ class TSVADChunkDataset:
         use_enhanced = (
             self._enhanced_wavs is not None
             and ch.rec in self._enhanced_wavs
-            and (not self.is_train or self.rng.random() < self.enhance_prob)
+            and (not self.is_train or rng.random() < self.enhance_prob)
         )
         if use_enhanced:
             audio, rate = load_wav_maybe_piped(self._enhanced_wavs[ch.rec], start_sample, start_sample + want)
@@ -203,14 +215,14 @@ class TSVADChunkDataset:
             audio = audio[:, 0]
         if len(audio) < want:
             audio = np.pad(audio, (0, want - len(audio)))
-        audio = self._augment(audio)
-        if self.enhancer is not None and (not self.is_train or self.rng.random() < self.enhance_prob):
+        audio = self._augment(rng, audio)
+        if self.enhancer is not None and (not self.is_train or rng.random() < self.enhance_prob):
             audio = self.enhancer(audio, self.rate)
 
         T = self.chunk_frames
         speakers = list(self.rec_speakers[ch.rec])
         if self.is_train:
-            self.rng.shuffle(speakers)
+            rng.shuffle(speakers)
         speakers = speakers[: self.max_speakers]
         offset_s = ch.start_frame / lr
         act = frames_from_turns(self.turns[ch.rec], speakers, 1.0 / lr, T, offset_s)
@@ -222,9 +234,9 @@ class TSVADChunkDataset:
         exist = list(speakers)
         for i in range(S):
             if i < len(speakers):
-                embs[i] = self._target_embedding(ch.rec, speakers[i])
-            elif self.is_train and self.rng.random() > self.zero_ratio:
-                d = self._distractor_embedding(exist)
+                embs[i] = self._target_embedding(rng, ch.rec, speakers[i])
+            elif self.is_train and rng.random() > self.zero_ratio:
+                d = self._distractor_embedding(rng, exist)
                 if d is not None:
                     embs[i] = d
         item = dict(
@@ -236,10 +248,10 @@ class TSVADChunkDataset:
             speakers=speakers,
         )
         if self.target_audio_dir is not None:
-            item["enroll_audio"] = self._enroll_audio(ch.rec, speakers)
+            item["enroll_audio"] = self._enroll_audio(rng, ch.rec, speakers)
         return item
 
-    def _enroll_audio(self, rec: str, speakers: List[str]) -> np.ndarray:
+    def _enroll_audio(self, rng: random.Random, rec: str, speakers: List[str]) -> np.ndarray:
         """Per-speaker enrollment crops from prepare-targets' overlap-free
         target wavs; zeros for absent speaker slots."""
         out = np.zeros((self.max_speakers, self.enroll_samples), np.float32)
@@ -252,7 +264,7 @@ class TSVADChunkDataset:
             if wav.ndim > 1:
                 wav = wav[:, 0]
             if len(wav) > self.enroll_samples:
-                st = self.rng.randrange(len(wav) - self.enroll_samples) if self.is_train else 0
+                st = rng.randrange(len(wav) - self.enroll_samples) if self.is_train else 0
                 wav = wav[st: st + self.enroll_samples]
             out[i, : len(wav)] = wav
         return out
@@ -266,13 +278,17 @@ def tsvad_batch_iterator(
     drop_last: bool = True,
     epoch: int = 0,
 ) -> Iterator[dict]:
+    from .parallel_fetch import fetch_items
+
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(epoch)
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
     n = len(order)
     stop = n - (n % batch_size) if drop_last else n
     for i in range(0, stop, batch_size):
-        items = [dataset[j] for j in order[i : i + batch_size]]
+        items = fetch_items(dataset, order[i : i + batch_size])
         batch = dict(
             audio=np.stack([it["audio"] for it in items]),
             target_embs=np.stack([it["target_embs"] for it in items]),

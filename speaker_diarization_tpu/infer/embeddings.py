@@ -78,13 +78,25 @@ class EmbeddingStore:
     @classmethod
     def load(cls, path: str) -> "EmbeddingStore":
         """Load a store; a comma-separated path list merges several stores
-        (train+valid splits are stored separately but consumed jointly)."""
+        (train+valid splits are stored separately but consumed jointly).
+
+        Comma is therefore reserved as a separator — a single filename
+        containing a comma cannot be loaded through this interface. Key
+        collisions across merged stores are logged (last store wins)."""
+        import logging
+
         data = {}
         for p in str(path).split(","):
             p = p.strip()
             if not p:
                 continue
             z = np.load(p)
+            clashes = [k for k in z.files if k in data]
+            if clashes:
+                logging.getLogger(__name__).warning(
+                    "EmbeddingStore.load: %d duplicate keys while merging %s "
+                    "(last store wins), e.g. %s", len(clashes), p, clashes[:3]
+                )
             data.update({k: z[k] for k in z.files})
         return cls(data)
 

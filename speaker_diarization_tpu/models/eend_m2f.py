@@ -262,9 +262,15 @@ def m2f_criterion(outputs: dict, labels: jnp.ndarray, cfg: M2FConfig, frame_mask
                 axis=-1,
             )[..., 0]  # (B, Q, S)
             cost = cost + cfg.location_weight * (1.0 - inside)
-        # only match real speakers (rows with any activity)
+        # only match real speakers (rows with any activity); pad columns get
+        # a sentinel just above the real-cost range so float32 precision on
+        # real-cost differences survives the JV potential updates
         real = jnp.sum(labels, axis=-1) > 0  # (B, S)
-        cost = jnp.where(real[:, None, :], cost, 1e6)
+        real_max = jnp.max(
+            jnp.where(real[:, None, :], cost, -jnp.inf), axis=(1, 2), keepdims=True
+        )
+        real_max = jnp.where(jnp.isfinite(real_max), real_max, 0.0)
+        cost = jnp.where(real[:, None, :], cost, real_max + 1.0)
         # assign: queries (rows) ≥ speakers (cols) → transpose to (B, S, Q)
         assign = hungarian_assign(cost.transpose(0, 2, 1))  # (B, S) query index per speaker
 

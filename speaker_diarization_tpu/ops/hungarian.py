@@ -115,7 +115,18 @@ def hungarian_assign(cost: jnp.ndarray) -> jnp.ndarray:
     B, N, M = cost.shape
     if N > M:
         raise ValueError(f"hungarian_assign expects N <= M, got {(N, M)}")
-    cost = jax.lax.stop_gradient(jnp.nan_to_num(cost, nan=1e9, posinf=1e9, neginf=-1e9))
+    # Keep float32 precision on the entries that matter: replace nan/inf
+    # with a sentinel near the real-cost scale, then subtract the per-matrix
+    # min so potentials stay small (a 1e9 sentinel would quantize real-cost
+    # differences below its float32 ULP once it enters the search).
+    cost = jax.lax.stop_gradient(cost)
+    finite = jnp.isfinite(cost)
+    fmax = jnp.max(jnp.where(finite, cost, -jnp.inf), axis=(1, 2), keepdims=True)
+    fmin = jnp.min(jnp.where(finite, cost, jnp.inf), axis=(1, 2), keepdims=True)
+    fmax = jnp.where(jnp.isfinite(fmax), fmax, 0.0)
+    fmin = jnp.where(jnp.isfinite(fmin), fmin, 0.0)
+    sentinel = fmax + jnp.maximum(fmax - fmin, 1.0)
+    cost = jnp.where(finite, cost, sentinel) - fmin
     return jax.vmap(_lsa_device_single)(cost)
 
 

@@ -23,12 +23,13 @@ from .trainer import Trainer, TrainState
 log = logging.getLogger(__name__)
 
 
-def prefetch_iterator(it: Iterator[dict], depth: int = 2) -> Iterator[dict]:
+def prefetch_iterator(it: Iterator[dict], depth: int = 6) -> Iterator[dict]:
     """Run the (host-side) batch iterator in a background thread with a
     bounded queue, overlapping wav reads / slicing / augmentation with the
     device step. The reference gets this from torch DataLoader workers
-    (ts_vad_dataset num_workers); here one thread suffices because feature
-    extraction already runs on-device and the host work is IO + numpy."""
+    (ts_vad_dataset num_workers); here the item-level work inside each
+    batch is already fanned out over the shared thread pool
+    (data/parallel_fetch.py), so one queue-feeder thread suffices."""
     import queue
     import threading
 
@@ -86,12 +87,25 @@ def run_training(
     best_vloss = float("inf")
     bad_validations = 0
     stop = False
+    probe_next = True  # time one fully-drained step per log interval
+    device_probe_ms = None
     try:
         while step < num_steps and not stop:
             for batch in prefetch_iterator(make_train_iter(epoch)):
                 if profile_dir is not None and step == profile_start:
                     jax.profiler.start_trace(profile_dir)
-                state, aux = trainer.train_step(state, batch)
+                if probe_next:
+                    # queue was just drained at the log boundary, so
+                    # dispatch→value time ≈ one device step (+ transfer)
+                    tp = time.perf_counter()
+                    state, aux = trainer.train_step(state, batch)
+                    jax.block_until_ready(aux["loss"])
+                    device_probe_ms = (time.perf_counter() - tp) * 1e3
+                    probe_next = False
+                else:
+                    # no per-step host sync: losses are fetched in bulk at
+                    # the log boundary so device steps pipeline freely
+                    state, aux = trainer.train_step(state, batch)
                 step += 1
                 if profile_dir is not None and step == profile_start + profile_steps:
                     jax.block_until_ready(aux)
@@ -99,21 +113,28 @@ def run_training(
                     log.info("profiler trace for steps [%d, %d) → %s",
                              profile_start, step, profile_dir)
                     profile_dir = None
-                window.append(float(aux["loss"]))
+                window.append(aux["loss"])
                 if step % log_every == 0:
+                    losses = [float(np.asarray(x)) for x in window]  # drains queue
                     dt = time.time() - t0
+                    dev_s = (device_probe_ms or 0.0) * 1e-3 * len(losses)
                     msg = {
                         "step": step,
                         "epoch": epoch,
-                        "loss": round(float(np.mean(window)), 5),
+                        "loss": round(float(np.mean(losses)), 5),
                         "lr": round(float(aux["lr"]), 7),
                         "grad_norm": round(float(aux["grad_norm"]), 4),
-                        "steps_per_s": round(log_every / max(dt, 1e-9), 3),
+                        "steps_per_s": round(len(losses) / max(dt, 1e-9), 3),
+                        "device_step_ms": round(device_probe_ms or 0.0, 2),
+                        # fraction of wall time the chip was doing steps;
+                        # (1 - util) is host-input-pipeline stall
+                        "device_util": round(min(1.0, dev_s / max(dt, 1e-9)), 3),
                     }
                     for k, v in aux.items():
                         if k not in ("loss", "lr", "grad_norm"):
                             msg[k] = round(float(v), 5)
                     log.info("train %s", msg)
+                    probe_next = True
                     if mf:
                         mf.write(json.dumps({"kind": "train", **msg}) + "\n")
                         mf.flush()

@@ -104,7 +104,7 @@ class TestEndToEnd:
         # sanity: all-silence system has DER = 1.0; we must beat it after
         # 50 steps (speech detection alone gets most of the way)
         assert res.scored_speaker_time > 0
-        assert res.der < 0.95, f"DER {res.der:.3f} not better than trivial silence"
+        assert res.der < 0.8, f"DER {res.der:.3f} (pinned round-4 regression bound)"
 
     def test_data_parallel_matches_single_device(self, corpus):
         ds = EendChunkDataset(corpus, chunk_frames=CHUNK, frontend=FE, n_speakers=2)

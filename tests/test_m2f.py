@@ -46,6 +46,32 @@ class TestHungarian:
         for b in range(3):
             assert len(set(a[b].tolist())) == 4  # one-to-one
 
+    def test_oracle_fuzz(self):
+        """JV solver vs the scipy oracle on random / tied / rectangular /
+        sentinel-padded matrices: total assignment cost must match the
+        float64 optimum (ADVICE r3: regression guard for the lax-loop
+        solver)."""
+        from scipy.optimize import linear_sum_assignment
+
+        rng = np.random.default_rng(42)
+        cases = []
+        for N, M in [(1, 1), (2, 3), (4, 4), (5, 8), (8, 8), (3, 16)]:
+            cases.append(rng.random((2, N, M)).astype(np.float32) * 10)
+            # tied integer costs
+            cases.append(rng.integers(0, 4, size=(2, N, M)).astype(np.float32))
+        # constant-sentinel padded columns (the M2F matcher regime)
+        c = rng.random((2, 3, 8)).astype(np.float32)
+        c[:, :, 4:] = 1e6
+        cases.append(c)
+        for cost in cases:
+            a = np.asarray(hungarian_assign(jnp.asarray(cost)))
+            for b in range(cost.shape[0]):
+                r, col = linear_sum_assignment(cost[b].astype(np.float64))
+                opt = cost[b][r, col].sum()
+                got = cost[b][np.arange(cost.shape[1]), a[b]].sum()
+                assert len(set(a[b].tolist())) == cost.shape[1]
+                np.testing.assert_allclose(got, opt, rtol=1e-5, atol=1e-4)
+
     def test_dice(self):
         t = jnp.asarray(np.array([[1, 1, 0, 0]], np.float32))
         perfect = jnp.asarray(np.array([[20.0, 20.0, -20.0, -20.0]], np.float32))

@@ -136,4 +136,6 @@ class TestTSVADEndToEnd:
         write_rttm(hyp, turns)
         res = score_der(os.path.join(data_dir, "rttm"), str(hyp), collar=0.25)
         assert res.scored_speaker_time > 0
-        assert res.der < 1.0, f"DER {res.der:.3f}"
+        # pinned regression bound (round-4): a working TS-VAD toy run lands
+        # well under 0.5; near-broken models sit at ~1.0
+        assert res.der < 0.5, f"DER {res.der:.3f}"
