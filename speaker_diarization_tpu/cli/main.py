@@ -731,6 +731,50 @@ def cmd_simulate_meetings(args) -> int:
     return 0
 
 
+def _make_embed_fn(args):
+    """Subsegment embedding fn for cluster / estimate-plda (shared encoder
+    loading: self-trained export-encoder npz, converted torch CAM++, or the
+    dependency-free spectrum baseline)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.encoder == "campplus":
+        from ..models import CAMPPlus
+        from ..ops import features as F
+        from ..utils.torch_convert import load_campplus_checkpoint
+
+        camp = CAMPPlus()
+        if args.encoder_ckpt and args.encoder_ckpt.endswith(".npz"):
+            # our own export-encoder format (hermetic self-trained path)
+            from ..models.spk_embed import load_encoder
+
+            camp, variables = load_encoder(args.encoder_ckpt)
+        elif args.encoder_ckpt:
+            params, stats = load_campplus_checkpoint(args.encoder_ckpt)
+            variables = {"params": params, "batch_stats": stats}
+        else:
+            variables = camp.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 198, 80), jnp.float32), False, "embedding"
+            )
+            logging.warning("no --encoder-ckpt: using random encoder weights")
+
+        @jax.jit
+        def embed(b):
+            fb = F.kaldi_fbank_jax(jnp.asarray(b), sample_rate=args.rate, mean_norm=True)
+            return camp.apply(variables, fb, False, "embedding")
+
+        return lambda b: np.asarray(embed(b))
+    elif args.encoder == "spectrum":
+        # dependency-free baseline: L2-normalized mean magnitude spectrum
+        def embed_fn(b):
+            sp = np.abs(np.fft.rfft(b, axis=-1))[:, :512]
+            return sp / (np.linalg.norm(sp, axis=-1, keepdims=True) + 1e-9)
+
+        return embed_fn
+    raise SystemExit(f"unknown encoder {args.encoder}")
+
+
 def cmd_cluster(args) -> int:
     """VAD → subsegment embeddings → clustering → RTTM: the reference's
     spectral/umap clustering recipes as one command
@@ -767,39 +811,15 @@ def cmd_cluster(args) -> int:
             min_duration_s=args.min_duration, apply_fn=vad_apply,
         )
 
-    if args.encoder == "campplus":
-        from ..models import CAMPPlus
-        from ..ops import features as F
-        from ..utils.torch_convert import load_campplus_checkpoint
+    embed_fn = _make_embed_fn(args)
 
-        camp = CAMPPlus()
-        if args.encoder_ckpt and args.encoder_ckpt.endswith(".npz"):
-            # our own export-encoder format (hermetic self-trained path)
-            from ..models.spk_embed import load_encoder
+    plda = None
+    if args.method == "vbx":
+        from ..infer.vbx import load_plda
 
-            camp, variables = load_encoder(args.encoder_ckpt)
-        elif args.encoder_ckpt:
-            params, stats = load_campplus_checkpoint(args.encoder_ckpt)
-            variables = {"params": params, "batch_stats": stats}
-        else:
-            variables = camp.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 198, 80), jnp.float32), False, "embedding"
-            )
-            logging.warning("no --encoder-ckpt: using random encoder weights")
-
-        @jax.jit
-        def embed(b):
-            fb = F.kaldi_fbank_jax(jnp.asarray(b), sample_rate=args.rate, mean_norm=True)
-            return camp.apply(variables, fb, False, "embedding")
-
-        embed_fn = lambda b: np.asarray(embed(b))  # noqa: E731
-    elif args.encoder == "spectrum":
-        # dependency-free baseline: L2-normalized mean magnitude spectrum
-        def embed_fn(b):
-            sp = np.abs(np.fft.rfft(b, axis=-1))[:, :512]
-            return sp / (np.linalg.norm(sp, axis=-1, keepdims=True) + 1e-9)
-    else:
-        raise SystemExit(f"unknown encoder {args.encoder}")
+        if not args.plda:
+            raise SystemExit("--method vbx requires --plda (run estimate-plda first)")
+        plda = load_plda(args.plda)
 
     kd = KaldiData(args.data_dir)
     all_turns = []
@@ -816,7 +836,8 @@ def cmd_cluster(args) -> int:
         turns = cluster_recording(
             audio.astype(np.float32), rate, embed_fn, rec, sad=sad,
             method=args.method, num_spks=args.num_spks, max_num_spks=args.max_num_spks,
-            window_s=args.window, hop_s=args.hop,
+            window_s=args.window, hop_s=args.hop, plda=plda,
+            vbx_loop_prob=args.vbx_loop_prob, vbx_fa=args.vbx_fa, vbx_fb=args.vbx_fb,
         )
         all_turns.extend(turns)
         logging.info("%s: %d turns, %d speakers", rec, len(turns), len({t.speaker for t in turns}))
@@ -827,6 +848,67 @@ def cmd_cluster(args) -> int:
 
         res = score_der(args.ref, args.out, collar=args.collar)
         print(res.summary())
+    return 0
+
+
+def cmd_estimate_plda(args) -> int:
+    """Labeled kaldi dir (utt2spk [+segments]) → two-covariance PLDA npz for
+    `cluster --method vbx` (the reference ships pretrained PLDA with
+    diarizen's VBx, egs/magicdata-ramc/eend_vc/clustering/VBx.py; zero
+    egress here, so it is estimated from the self-trained encoder's
+    embeddings instead)."""
+    import numpy as np
+
+    from ..data.kaldi_io import KaldiData
+    from ..data.wav import load_wav_maybe_piped
+    from ..infer.vbx import estimate_plda, save_plda
+
+    embed_fn = _make_embed_fn(args)
+    kd = KaldiData(args.data_dir)
+    if not kd.utt2spk:
+        raise SystemExit(f"{args.data_dir} has no utt2spk")
+    win = int(args.window * args.rate)
+    hop = int(args.hop * args.rate)
+    wavs, labels = [], []
+    spk_ids = {s: i for i, s in enumerate(sorted(set(kd.utt2spk.values())))}
+    if kd.segments:
+        entries = [
+            (seg["utt"], rec, seg["st"], seg["et"])
+            for rec, segs in sorted(kd.segments.items())
+            for seg in segs
+            if seg["utt"] in kd.utt2spk
+        ]
+    else:
+        entries = [(u, u, None, None) for u in sorted(kd.utt2spk) if u in kd.wavs]
+    audio_cache = {}
+    for utt, rec, st, et in entries:
+        if rec not in audio_cache:
+            a, r = load_wav_maybe_piped(kd.wavs[rec])
+            if a.ndim > 1:
+                a = a[:, 0]
+            assert r == args.rate, (r, args.rate)
+            if len(audio_cache) > 16:
+                audio_cache.clear()
+            audio_cache[rec] = a.astype(np.float32)
+        a = audio_cache[rec]
+        if st is not None:
+            a = a[int(st * args.rate): int(et * args.rate)]
+        if len(a) < win:
+            a = np.pad(a, (0, win - len(a)), "wrap")
+        for off in range(0, min(len(a) - win, args.max_windows_per_utt * hop - 1) + 1, hop):
+            wavs.append(a[off: off + win])
+            labels.append(spk_ids[kd.utt2spk[utt]])
+    embs = []
+    for i in range(0, len(wavs), 64):
+        embs.append(embed_fn(np.stack(wavs[i: i + 64]).astype(np.float32)))
+    embs = np.concatenate(embs, axis=0)
+    plda = estimate_plda(embs, np.asarray(labels), dim=args.plda_dim)
+    save_plda(args.out, plda)
+    logging.info(
+        "PLDA from %d windows / %d speakers → %s (dim %d)",
+        len(labels), len(spk_ids), args.out, len(plda.psi),
+    )
+    print(args.out)
     return 0
 
 
@@ -1380,7 +1462,11 @@ def build_parser() -> argparse.ArgumentParser:
     cl = sub.add_parser("cluster", help="VAD → embeddings → clustering → RTTM")
     cl.add_argument("--data-dir", required=True, help="kaldi dir with wav.scp")
     cl.add_argument("--out", required=True, help="output RTTM path")
-    cl.add_argument("--method", choices=["spectral", "umap"], default="spectral")
+    cl.add_argument("--method", choices=["spectral", "umap", "vbx"], default="spectral")
+    cl.add_argument("--plda", help="vbx: PLDA npz from estimate-plda")
+    cl.add_argument("--vbx-loop-prob", type=float, default=0.9)
+    cl.add_argument("--vbx-fa", type=float, default=0.4)
+    cl.add_argument("--vbx-fb", type=float, default=17.0)
     cl.add_argument("--sad", choices=["energy", "oracle", "neural"], default="energy")
     cl.add_argument("--oracle-rttm", help="RTTM for oracle SAD (default: <data-dir>/rttm)")
     cl.add_argument("--vad-ckpt", help="neural VAD params (save_vad_params msgpack)")
@@ -1396,6 +1482,18 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--ref", help="reference RTTM: score the result")
     cl.add_argument("-c", "--collar", type=float, default=0.25)
     cl.set_defaults(fn=cmd_cluster)
+
+    ep = sub.add_parser("estimate-plda", help="labeled kaldi dir → PLDA npz for cluster --method vbx")
+    ep.add_argument("--data-dir", required=True, help="kaldi dir with utt2spk (+segments)")
+    ep.add_argument("--out", required=True, help="output PLDA npz path")
+    ep.add_argument("--encoder", choices=["campplus", "spectrum"], default="campplus")
+    ep.add_argument("--encoder-ckpt")
+    ep.add_argument("--rate", type=int, default=16000)
+    ep.add_argument("--window", type=float, default=1.5)
+    ep.add_argument("--hop", type=float, default=0.75)
+    ep.add_argument("--max-windows-per-utt", type=int, default=8)
+    ep.add_argument("--plda-dim", type=int, default=None, help="keep top-K PLDA dims")
+    ep.set_defaults(fn=cmd_estimate_plda)
 
     ev = sub.add_parser("export-vad", help="export trained VAD params for `cluster --vad-ckpt`")
     ev.add_argument("--exp-dir", required=True)

@@ -293,11 +293,20 @@ def cluster_recording(
     window_s: float = 1.5,
     hop_s: float = 0.75,
     batch_size: int = 64,
+    plda=None,
+    vbx_loop_prob: float = 0.9,
+    vbx_fa: float = 0.4,
+    vbx_fb: float = 17.0,
 ) -> List[Turn]:
     """One recording → clustered speaker turns.
 
     embed_fn: (B, window_samples) float32 → (B, D). SAD defaults to energy
     VAD. Adjacent same-label subsegments are merged into turns.
+
+    method="vbx": spectral initialization refined by Bayesian-HMM VBx
+    resegmentation over the PLDA-transformed embedding sequence (diarizen's
+    default clustering, egs/magicdata-ramc/eend_vc/clustering/VBx.py);
+    requires `plda` (infer.vbx.Plda, see `estimate-plda`).
     """
     if sad is None:
         sad = energy_vad(audio, rate)
@@ -321,6 +330,15 @@ def cluster_recording(
         labels = spectral_cluster(embs, num_spks=num_spks, max_num_spks=max_num_spks)
     elif method == "umap":
         labels = pahc_merge(embs, density_cluster(embs))
+    elif method == "vbx":
+        if plda is None:
+            raise ValueError("method='vbx' requires a PLDA (run estimate-plda)")
+        from .vbx import vbx_resegment
+
+        init = spectral_cluster(embs, num_spks=num_spks, max_num_spks=max_num_spks)
+        labels, _res = vbx_resegment(
+            embs, init, plda, loop_prob=vbx_loop_prob, fa=vbx_fa, fb=vbx_fb
+        )
     else:
         raise ValueError(method)
 

@@ -189,3 +189,18 @@ def vbx_resegment(
         max_speakers=S, gamma_init=gamma0, max_iters=max_iters,
     )
     return res.labels, res
+
+
+def save_plda(path: str, plda: Plda) -> None:
+    """Persist a PLDA transform (mu/tr/psi) as npz."""
+    import os
+
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    np.savez(path, mu=plda.mu, tr=plda.tr, psi=plda.psi)
+
+
+def load_plda(path: str) -> Plda:
+    z = np.load(path)
+    return Plda(mu=z["mu"], tr=z["tr"], psi=z["psi"])

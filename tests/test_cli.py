@@ -93,6 +93,42 @@ class TestClusterCommand:
         der = float(lines[1].split("DER ")[1].split("%")[0])
         assert der < 5.0, lines[1]
 
+    def test_cluster_vbx(self, tmp_path, capsys):
+        """estimate-plda → cluster --method vbx end-to-end (diarizen's
+        default clustering path, VERDICT r3 #5)."""
+        from speaker_diarization_tpu.data.wav import write_wav
+
+        d = self._make_data(tmp_path)
+        # labeled utterance dir for PLDA: single-speaker tone utterances
+        pd = tmp_path / "plda_data"
+        pd.mkdir()
+        rate = 16000
+        rng = np.random.default_rng(1)
+        scp, u2s = [], []
+        for i, (f, spk) in enumerate([(150.0, "A"), (350.0, "B")] * 3):
+            a = (0.3 * np.sin(2 * np.pi * f * np.arange(2 * rate) / rate)
+                 + 0.1 * rng.standard_normal(2 * rate)).astype(np.float32)
+            write_wav(str(pd / f"u{i}.wav"), a, rate)
+            scp.append(f"u{i} {pd / f'u{i}.wav'}")
+            u2s.append(f"u{i} {spk}")
+        (pd / "wav.scp").write_text("\n".join(scp) + "\n")
+        (pd / "utt2spk").write_text("\n".join(u2s) + "\n")
+
+        plda_npz = tmp_path / "plda.npz"
+        rc = main(["estimate-plda", "--data-dir", str(pd), "--out", str(plda_npz),
+                   "--encoder", "spectrum", "--plda-dim", "16"])
+        assert rc == 0 and plda_npz.exists()
+
+        out = tmp_path / "hyp_vbx.rttm"
+        rc = main(["cluster", "--data-dir", str(d), "--out", str(out),
+                   "--encoder", "spectrum", "--sad", "oracle", "--num-spks", "2",
+                   "--method", "vbx", "--plda", str(plda_npz),
+                   "--ref", str(d / "rttm"), "-c", "0.25"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        der = float(lines[-1].split("DER ")[1].split("%")[0])
+        assert der < 5.0, lines[-1]
+
     def test_cluster_energy_sad(self, tmp_path, capsys):
         d = self._make_data(tmp_path)
         out = tmp_path / "hyp2.rttm"
