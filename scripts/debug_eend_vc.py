@@ -151,8 +151,8 @@ def main():
         res = score_der(ref_sub, hyp, collar=0.25)
         results[name] = (res, float(np.mean(ks)))
         print(
-            f"{name:22s} DER {res.der*100:6.2f}  MS {res.missed_speech*100:5.2f} "
-            f"FA {res.false_alarm*100:5.2f}  SC {res.speaker_error*100:5.2f}  mean_k {np.mean(ks):.1f}"
+            f"{name:22s} DER {res.der*100:6.2f}  MS {res.miss_rate*100:5.2f} "
+            f"FA {res.falarm_rate*100:5.2f}  SC {res.confusion_rate*100:5.2f}  mean_k {np.mean(ks):.1f}"
         )
 
 

@@ -1341,7 +1341,7 @@ def cmd_infer(args) -> int:
         from ..score import score_der
 
         best = None
-        for th in [round(0.2 + 0.05 * i, 2) for i in range(13)]:
+        for th in [round(0.2 + 0.05 * i, 2) for i in range(16)]:
             turns_t = []
             for rec, p in probs.items():
                 turns_t += probs_to_turns(
@@ -1453,7 +1453,7 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--emb-store")
     i.add_argument("--target-audio-dir", help="tsvad3: target_audio tree for enrollment waveforms")
     i.add_argument("--infer-shift", type=float, default=1.0)
-    i.add_argument("--threshold-sweep", action="store_true", help="write RTTMs for thresholds 0.2..0.8")
+    i.add_argument("--threshold-sweep", action="store_true", help="write RTTMs for thresholds 0.2..0.95")
     i.add_argument("--cder", action="store_true", help="also report CDER in the threshold sweep")
     i.add_argument("--ref", help="reference RTTM for sweep scoring")
     i.add_argument("--avg-last", type=int, default=0, help="average the last K checkpoints")

@@ -253,9 +253,13 @@ def make_sond_loss(model: SONDModel):
                 f"(see make_sond_loss_from_audio)"
             )
         frame_mask = batch.get("frame_mask")
+        # identity (profile-order) CE: channel i is scored against profile
+        # i, as the reference's LabelSmoothingLoss does — see
+        # powerset_pit_ce's permutation_invariant note
         loss, _ = P.powerset_pit_ce(
             logits, labels, c.max_speakers, c.max_set_size,
             frame_mask=frame_mask, label_smoothing=c.label_smoothing,
+            permutation_invariant=False,
         )
         # frame-level DER from powerset argmax
         pred_ml = P.powerset_to_multilabel(jnp.argmax(logits, -1), c.max_speakers, c.max_set_size)

@@ -114,7 +114,13 @@ class SSNDModel(nn.Module):
 
     # ------------------------------------------------------------------
     def encode(self, audio_or_fbank, train: bool = False):
-        """audio (B, N) or fbank (B, T100, feat) → features (B, T50, emb_dim)."""
+        """audio (B, N) or fbank (B, T100, feat) → (extractor feats
+        (B, T50, emb_dim), conformer features (B, T50, d_model)).
+
+        The detection decoder consumes the conformer output; the
+        representation decoder consumes the raw extractor features
+        (reference forward: `self.rep_decoder(x_rep_dec, x, ...)` where
+        x = extractor(feats), ssnd_model.py:644-673)."""
         c = self.cfg
         if audio_or_fbank.ndim == 2:
             fbank = F.kaldi_fbank_auto(audio_or_fbank, sample_rate=c.sample_rate, num_mel_bins=c.feat_dim, mean_norm=True)
@@ -122,7 +128,7 @@ class SSNDModel(nn.Module):
             fbank = audio_or_fbank
         frames = self.extractor(fbank.astype(self.dtype), train=train, mode="frames")
         feats = self.extract_proj(frames)  # (B, T50, emb_dim)
-        return self.encoder(feats, train=train)  # (B, T50, d_model)
+        return feats, self.encoder(feats, train=train)  # (B, T50, d_model)
 
     def detect(self, x_fea, aux_embs, train: bool = False):
         """x_fea (B, T, D), aux_embs (B, N, emb_dim) → VAD logits (B, N, vad_out_len)."""
@@ -135,24 +141,45 @@ class SSNDModel(nn.Module):
             x_dec = layer(x_dec, x_fea, q_aux.astype(self.dtype), k_pos, train)
         return self.det_out(x_dec).astype(jnp.float32)
 
-    def represent(self, x_fea, vad_logits, train: bool = False):
-        """x_fea (B, T, D), vad (B, N, T_vad) → speaker embeddings (B, N, emb_dim)."""
-        B, T, _ = x_fea.shape
+    def represent(self, x_ext, q_vad, train: bool = False):
+        """x_ext (B, T, emb_dim) extractor feats, q_vad (B, N, T_vad) VAD
+        activities (ground-truth labels at train, sigmoid probs at infer) →
+        speaker embeddings (B, N, emb_dim).
+
+        Reference RepresentationDecoder (ssnd_model.py:341-369): decoder
+        state = learned per-slot query rep_query_emb pooled over T_vad and
+        projected 1→d_model; aux query = the slot's VAD activity pooled
+        over T_vad and projected 1→d_aux; cross-attention keys/values are
+        the *extractor* features. (The round-3 version fed raw predicted
+        logits through both projections and ignored rep_query — the
+        ArcFace table never converged, VERDICT r3.)"""
+        B, T, _ = x_ext.shape
         N = self.cfg.max_speakers
-        fea = self.rep_in_fea(x_fea)
-        pooled = jnp.mean(vad_logits, axis=-1, keepdims=True)  # (B, N, 1)
-        x_dec = self.rep_in_dec(pooled.astype(self.dtype))
-        q_aux = self.rep_in_aux(pooled.astype(self.dtype))
+        fea = self.rep_in_fea(x_ext)
+        x_dec = self.rep_in_dec(
+            jnp.mean(self.rep_query, axis=-1, keepdims=True).astype(self.dtype)
+        )  # (N, d_model)
+        x_dec = jnp.broadcast_to(x_dec[None], (B, N, self.cfg.d_model))
+        q_aux = self.rep_in_aux(jnp.mean(q_vad, axis=-1, keepdims=True).astype(self.dtype))
         k_pos = jnp.broadcast_to(self.pos_emb[:, :T], (B, T, self.cfg.pos_emb_dim)).astype(self.dtype)
         for layer in self.rep_layers:
             x_dec = layer(x_dec, fea, q_aux, k_pos, train)
         return self.rep_out(x_dec).astype(jnp.float32)
 
-    def __call__(self, audio_or_fbank, aux_embs, train: bool = False):
-        """→ (vad_logits (B, N, vad_out_len), spk_embs (B, N, emb_dim))."""
-        x = self.encode(audio_or_fbank, train)
-        vad = self.detect(x, aux_embs, train)
-        emb = self.represent(x, vad, train)
+    def __call__(self, audio_or_fbank, aux_embs, train: bool = False, vad_labels=None):
+        """→ (vad_logits (B, N, vad_out_len), spk_embs (B, N, emb_dim)).
+
+        vad_labels: teacher-forced VAD activities for the representation
+        decoder at train time (reference trains with q_aux = vad_labels,
+        ssnd_model.py:673; inference uses the predicted probabilities,
+        :775)."""
+        x_ext, enc = self.encode(audio_or_fbank, train)
+        vad = self.detect(enc, aux_embs, train)
+        if vad_labels is None:
+            q_vad = jax.nn.sigmoid(jax.lax.stop_gradient(vad))
+        else:
+            q_vad = vad_labels.astype(jnp.float32)
+        emb = self.represent(x_ext, q_vad, train)
         return vad, emb
 
     # ------------------------------------------------------------------

@@ -56,6 +56,7 @@ def powerset_pit_ce(
     max_set_size: int = 2,
     frame_mask: jnp.ndarray | None = None,
     label_smoothing: float = 0.0,
+    permutation_invariant: bool = True,
 ):
     """Permutation-invariant powerset cross-entropy.
 
@@ -63,7 +64,19 @@ def powerset_pit_ce(
     (probabilities folded back through the mapping, as pyannote's
     `permutate` does on the powerset posteriors), then CE is computed on
     the permuted class targets. Returns (loss, permuted class targets).
+
+    `permutation_invariant=False` computes CE on the labels in the given
+    channel order — REQUIRED for profile-conditioned models (SOND): the
+    reference scores channel i against profile i with a straight
+    LabelSmoothingLoss (sond/models.py:118-130, label_smoothing_loss.py:14),
+    and inference assumes that binding. Round 3 trained SOND with PIT here
+    and the model fit a permuted solution (train CE fell to 0.80 while
+    frame-DER vs the unpermuted labels stalled at ~0.6) — the profile
+    binding never formed and leaderboard DER stuck at the baseline.
     """
+    if not permutation_invariant:
+        target_idx = multilabel_to_powerset(labels, n_speakers, max_set_size)
+        return _powerset_ce(logits, target_idx, frame_mask, label_smoothing), target_idx
     A = jnp.asarray(powerset_mapping(n_speakers, max_set_size))  # (C, K)
     probs = jax.nn.softmax(logits, axis=-1)
     marginals = jnp.einsum("btc,ck->btk", probs, A)  # (B, T, K) speaker probs
@@ -74,6 +87,10 @@ def powerset_pit_ce(
     )
     _, labels_perm, perm = L.pit_loss(marg_logits, labels, frame_mask=frame_mask)
     target_idx = multilabel_to_powerset(labels_perm, n_speakers, max_set_size)
+    return _powerset_ce(logits, target_idx, frame_mask, label_smoothing), target_idx
+
+
+def _powerset_ce(logits, target_idx, frame_mask=None, label_smoothing: float = 0.0):
     n_classes = logits.shape[-1]
     logp = jax.nn.log_softmax(logits, axis=-1)
     onehot = jax.nn.one_hot(target_idx, n_classes)
@@ -81,7 +98,5 @@ def powerset_pit_ce(
         onehot = onehot * (1 - label_smoothing) + label_smoothing / n_classes
     ce = -jnp.sum(onehot * logp, axis=-1)  # (B, T)
     if frame_mask is not None:
-        loss = jnp.sum(ce * frame_mask) / jnp.maximum(jnp.sum(frame_mask), 1.0)
-    else:
-        loss = jnp.mean(ce)
-    return loss, target_idx
+        return jnp.sum(ce * frame_mask) / jnp.maximum(jnp.sum(frame_mask), 1.0)
+    return jnp.mean(ce)
