@@ -68,7 +68,7 @@ run_family() {
       --set chunk_frames=200 --set batch_size=32 --set num_steps=$steps5 \
       --set optimizer=adam --set schedule=noam --set learning_rate=1.0 \
       --set warmup_steps=1000 --set bf16=true \
-      --set log_every=20 --set valid_every=500
+      --set log_every=20 --set valid_every=250
     $cli infer --family eend_vc --data-dir "$work/test/data" \
       --exp-dir "$work/eend_vc" --out "$work/hyp_eend_vc.rttm" \
       --threshold-sweep --ref "$work/test/data/rttm" \
@@ -173,6 +173,112 @@ PYEOF
       --threshold-sweep --ref "$work/test/data/rttm" \
       --set sample_rate=$rate --set n_mels=80 --set encoder_blocks=12,24,16 \
       --set rs_len=4.0
+    ;;
+  eend)
+    # re-base the EEND row on the shared 3-speaker corpus (round-3 table
+    # mixed a 2-speaker round-2 row in; VERDICT r3 missing #4)
+    $cli train --family eend --train-dir "$work/train/data" \
+      --valid-dir "$work/valid/data" --exp-dir "$work/eend3" --resume \
+      --set sample_rate=$rate --set n_speakers=3 --set n_mels=23 \
+      --set d_model=256 --set d_ff=1024 --set n_layers=4 --set n_heads=4 \
+      --set chunk_frames=500 --set batch_size=32 --set num_steps=$steps5 \
+      --set optimizer=adam --set schedule=noam --set learning_rate=1.0 \
+      --set warmup_steps=1000 --set bf16=true \
+      --set log_every=20 --set valid_every=500
+    $cli infer --family eend --data-dir "$work/test/data" \
+      --exp-dir "$work/eend3" --out "$work/hyp_eend3.rttm" \
+      --threshold-sweep --ref "$work/test/data/rttm" \
+      --set sample_rate=$rate --set n_speakers=3 --set n_mels=23 \
+      --set d_model=256 --set d_ff=1024 --set n_layers=4 --set n_heads=4 \
+      --set chunk_frames=500
+    ;;
+  vbx)
+    # diarizen's default clustering as a baseline row: PLDA from the
+    # self-trained encoder's embeddings over the labeled source utterances,
+    # spectral init + VBx resegmentation (VERDICT r3 #5)
+    $cli estimate-plda --data-dir "$work/src" --out "$work/plda.npz" \
+      --encoder campplus --encoder-ckpt "$work/encoder.npz" --rate $rate \
+      --plda-dim 64
+    $cli cluster --data-dir "$work/test/data" --out "$work/hyp_vbx.rttm" \
+      --method vbx --plda "$work/plda.npz" --sad oracle \
+      --encoder campplus --encoder-ckpt "$work/encoder.npz" --rate $rate \
+      --ref "$work/test/data/rttm" -c 0.25
+    ;;
+  ecapa)
+    # non-CAM++ speech encoder trained through the TS-VAD path end-to-end
+    # (VERDICT r3 #6): scratch-initialized ECAPA-TDNN trunk
+    $cli train --family tsvad --train-dir "$work/train/data" --valid-dir "$work/valid/data" \
+      --exp-dir "$work/tsvad_ecapa" --emb-store "$work/train/embs.npz,$work/valid/embs.npz" \
+      --noise-dir "$work/noise" --resume \
+      --set speech_encoder_type=ecapa --set sample_rate=$rate --set n_mels=80 \
+      --set rs_len=4.0 --set segment_shift=2.0 --set batch_size=32 \
+      --set num_steps=$steps --set optimizer=adam --set schedule=poly \
+      --set learning_rate=2e-4 --set warmup_steps=400 --set bf16=true \
+      --set log_every=20 --set valid_every=500
+    $cli infer --family tsvad --data-dir "$work/test/data" --exp-dir "$work/tsvad_ecapa" \
+      --emb-store "$work/test/embs.npz" --out "$work/hyp_tsvad_ecapa.rttm" \
+      --threshold-sweep --ref "$work/test/data/rttm" \
+      --set speech_encoder_type=ecapa --set sample_rate=$rate --set n_mels=80 \
+      --set rs_len=4.0
+    ;;
+  enhancer_eval)
+    # the learned denoiser's effect on DER (VERDICT r3 #8): corrupt the
+    # held-out test mixtures at low SNR, score the flagship with vs
+    # without enhancement at inference
+    python - <<'PYEOF'
+import os
+import numpy as np
+from speaker_diarization_tpu.data.kaldi_io import KaldiData, save_data_dir
+from speaker_diarization_tpu.data.wav import read_wav, write_wav
+
+work = os.environ.get("WORK", "exp/hermetic_tsvad")
+rate = 8000
+src = KaldiData(os.path.join(work, "test", "data"))
+noise_kd = KaldiData(os.path.join(work, "noise"))
+noises = sorted(noise_kd.wavs)
+outdir = os.path.join(work, "test_noisy")
+os.makedirs(os.path.join(outdir, "wav"), exist_ok=True)
+rng = np.random.default_rng(11)
+wavs = {}
+for i, rec in enumerate(sorted(src.wavs)):
+    a, r = read_wav(src.wavs[rec]) if not src.wavs[rec].endswith("|") else (None, None)
+    assert r == rate
+    n, nr = read_wav(noise_kd.wavs[noises[i % len(noises)]])
+    if n.ndim > 1:
+        n = n[:, 0]
+    reps = len(a) // len(n) + 1
+    n = np.tile(n, reps)[: len(a)]
+    snr = 2.0  # hard condition
+    sp, npow = np.mean(a ** 2) + 1e-12, np.mean(n ** 2) + 1e-12
+    noisy = a + n * np.sqrt(10 ** (-snr / 10) * sp / npow)
+    path = os.path.join(outdir, "wav", rec + ".wav")
+    write_wav(path, noisy.astype(np.float32), rate)
+    wavs[rec] = path
+datadir = os.path.join(outdir, "data")
+save_data_dir(datadir, wavs)
+import shutil
+shutil.copy(os.path.join(work, "test", "data", "rttm"), os.path.join(datadir, "rttm"))
+print("noisy test set:", datadir)
+PYEOF
+    # enhancer is trained + exported by tests/test_enhancer_learned.py's
+    # recipe path; (re)train briefly if absent
+    if [ ! -f "$work/enhancer.npz" ]; then
+      $cli train --family enhance --train-dir "$work/src" --noise-dir "$work/noise" \
+        --exp-dir "$work/enh" --resume \
+        --set sample_rate=$rate --set batch_size=16 --set num_steps=1500 \
+        --set optimizer=adam --set schedule=poly --set learning_rate=2e-4 \
+        --set warmup_steps=200 --set bf16=true --set log_every=50 --set valid_every=100000
+      $cli export-enhancer --exp-dir "$work/enh" --out "$work/enhancer.npz"
+    fi
+    $cli infer --family tsvad --data-dir "$work/test_noisy/data" --exp-dir "$work/tsvad" \
+      --emb-store "$work/test/embs.npz" --out "$work/hyp_noisy_plain.rttm" \
+      --threshold-sweep --ref "$work/test_noisy/data/rttm" \
+      --set sample_rate=$rate --set n_mels=80 --set encoder_blocks=12,24,16 --set rs_len=4.0
+    $cli infer --family tsvad --data-dir "$work/test_noisy/data" --exp-dir "$work/tsvad" \
+      --emb-store "$work/test/embs.npz" --out "$work/hyp_noisy_enh.rttm" \
+      --threshold-sweep --ref "$work/test_noisy/data/rttm" \
+      --set sample_rate=$rate --set n_mels=80 --set encoder_blocks=12,24,16 --set rs_len=4.0 \
+      --set enhancer=neural:$work/enhancer.npz --set enhance_prob=1.0
     ;;
   *)
     echo "unknown family: $fam" >&2

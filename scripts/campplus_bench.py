@@ -21,7 +21,15 @@ import time
 
 sys.path.insert(0, ".")
 
+import os
+
 import jax
+
+# persist XLA executables across runs — relay compiles are minutes long
+_cache = os.path.join(os.path.expanduser("~"), ".cache", "sdt_jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 

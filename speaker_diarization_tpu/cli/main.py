@@ -79,6 +79,11 @@ class TrainCliConfig:
     # tsvad: stop-gradient the (pretrained) speech encoder for this run
     # (reference freeze_speech_encoder_updates, model.py:771)
     freeze_encoder: bool = False
+    # speech-enhancement hook applied to chunk audio (reference
+    # ts_vad_dataset.py:423-492): '' = off, 'dsp' or 'neural:<npz>'; at
+    # train it fires with enhance_prob, at eval deterministically
+    enhancer: str = ""
+    enhance_prob: float = 0.5
     # tsvad3 (online enrollment-waveform embeddings, egs/alimeeting/ts_vad3)
     ts_len: float = 6.0  # enrollment seconds per speaker
     fuse_fbank_feat: bool = False
@@ -467,6 +472,7 @@ def cmd_train(args) -> int:
                 rate=cfg.sample_rate, is_train=True, seed=cfg.seed,
                 noise_dir=args.noise_dir, rir_dir=args.rir_dir,
                 target_audio_dir=t, enroll_len_s=cfg.ts_len,
+                enhancer=cfg.enhancer or None, enhance_prob=cfg.enhance_prob,
             )
             for d, t in zip(train_dirs, tads)
         ]
@@ -1183,6 +1189,7 @@ def cmd_infer(args) -> int:
         ds = TSVADChunkDataset(
             args.data_dir, store, rs_len=cfg.rs_len, segment_shift=args.infer_shift,
             rate=cfg.sample_rate, is_train=False,
+            enhancer=cfg.enhancer or None, enhance_prob=cfg.enhance_prob,
         )
         T = int(cfg.rs_len * 25)
 

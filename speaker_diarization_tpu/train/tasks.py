@@ -196,10 +196,15 @@ def make_ssnd_loss(model, arcface_weight: float = 0.01, bce_alpha: float = 0.75,
         arc = jnp.sum(ce_arc * valid) / jnp.maximum(jnp.sum(valid), 1.0)
         # reference adds a small embedding-norm penalty (ssnd_model.py:477)
         arc = arc + 0.001 * jnp.mean(jnp.linalg.norm(flat_emb, axis=-1))
+        # top-1 speaker-id accuracy: the direct signal that the
+        # representation decoder aligns with E_all (CE alone starts ~11
+        # from the margin+scale and moves slowly)
+        acc = jnp.sum((jnp.argmax(logits_arc, -1) == flat_gid) * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
         stats = M.diarization_error_stats(vad.transpose(0, 2, 1), labels.transpose(0, 2, 1))
         return bce + arcface_weight * arc, (
-            {"bce_loss": bce, "arcface_loss": arc, "frame_der": M.der_from_stats(stats)},
+            {"bce_loss": bce, "arcface_loss": arc, "arcface_acc": acc,
+             "frame_der": M.der_from_stats(stats)},
             new_mut,
         )
 
