@@ -60,7 +60,7 @@ def timeit(fn, iters=10, reps=3):
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    B = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 64
     secs, rate = 4, 16000
     T = secs * 100  # 100 Hz fbank frames
     model = CAMPPlus(dtype=jnp.bfloat16)
@@ -134,3 +134,36 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_fused():
+    """Fused dense-block inference path vs the standard module."""
+    from speaker_diarization_tpu.kernels.cam_block_fused import campplus_frames_fused
+
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    T = 400
+    model = CAMPPlus(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    n_bufs = 4
+    fb_bufs = [jax.device_put(rng.standard_normal((B, T, 80)).astype(np.float32)) for _ in range(n_bufs)]
+    variables = model.init(jax.random.PRNGKey(0), fb_bufs[0], False, "frames")
+    for name, f in (
+        ("standard", jax.jit(lambda x: jnp.sum(model.apply(variables, x, False, "frames").astype(jnp.float32)))),
+        ("fused", jax.jit(lambda x: jnp.sum(campplus_frames_fused(model, variables, x).astype(jnp.float32)))),
+    ):
+        try:
+            ca = f.lower(fb_bufs[0]).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        float(f(fb_bufs[0]))
+        dt = timeit(lambda i: f(fb_bufs[i % n_bufs]))
+        print(json.dumps({"encoder": name, "ms": round(dt * 1e3, 3), "batch": B,
+                          "gflops": round(flops / 1e9, 2),
+                          "mfu": round(flops / dt / PEAK, 4) if flops else None}), flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "fused":
+    bench_fused()
+    sys.exit(0)

@@ -52,6 +52,8 @@ class TSVADConfig:
     # campplus | wavlm | wavlm_weight_sum | w2vbert | hubert | wav2vec2 | mms
     # | whisper | resnet34 | simam_resnet34 | ecapa | eres2netv2 | redimnet_b*
     speech_encoder_type: str = "campplus"
+    # use the fused MXU dense-block path for CAM++ at inference
+    fused_encoder_inference: bool = True
     # whisper-as-speech-encoder (reference ts_vad2/model.py:556-580 +
     # whisper_encoder.py ModelDimensions: large-v2 trunk, blocks 16-23
     # concatenated → 50 Hz features → conv stride 2 down to 25 Hz)
@@ -372,7 +374,22 @@ class TSVADModel(nn.Module):
                 fbank = audio_or_fbank
             fbank = fbank.astype(self.dtype)
             mode = "frames25" if c.speech_encoder_type == "eres2netv2" else "frames"
-            x = self.speech_encoder(fbank, train=train and not freeze_encoder, mode=mode)  # (B, T50, 512)
+            if (
+                c.speech_encoder_type == "campplus"
+                and c.fused_encoder_inference
+                and not train
+                and not self.is_initializing()
+            ):
+                # MXU-first fused dense blocks at inference (identical math;
+                # kernels/cam_block_fused.py) — the round-4 answer to the
+                # encoder-bound MFU 0.10 flagship profile
+                from ..kernels.cam_block_fused import campplus_frames_fused
+
+                x = campplus_frames_fused(
+                    self.speech_encoder, dict(self.speech_encoder.variables), fbank
+                )
+            else:
+                x = self.speech_encoder(fbank, train=train and not freeze_encoder, mode=mode)  # (B, T50, 512)
         if freeze_encoder:
             x = jax.lax.stop_gradient(x)
         x = self.speech_down(x, train=train)  # (B, T25, 192)
