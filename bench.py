@@ -118,6 +118,39 @@ def main():
         assert np.isfinite(witness)
     pipelined_dt = statistics.median(pipelined_dts)
 
+    # (1b) device-side scan: one dispatch runs K=4 sequential forwards via
+    # lax.scan over stacked distinct inputs (per-forward batch stays 64 —
+    # activations never exceed the B=64 working set; this only amortizes
+    # the host/relay dispatch overhead across 4× the audio). Same
+    # completion witness: the summed checksum's host value.
+    K = 4
+    audio_k = jnp.stack(audios[:K])
+    embs_k = jnp.stack(embss[:K])
+
+    @jax.jit
+    def forward_scan(variables, audio_k, embs_k):
+        def body(acc, xe):
+            a, e = xe
+            probs = jax.nn.sigmoid(model.apply(variables, a, e, T, train=False))
+            return acc + jnp.sum(probs), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), (audio_k, embs_k))
+        return acc
+
+    float(forward_scan(variables, audio_k, embs_k))  # compile+run
+    scan_iters = max(1, iters // K)
+    scan_dts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(scan_iters):
+            s_ = forward_scan(variables, audio_k, embs_k)
+            acc = s_ if acc is None else acc + s_
+        float(acc)
+        scan_dts.append(time.perf_counter() - t0)
+    scan_dt = statistics.median(scan_dts)
+    tp_scan = scan_iters * K * audio_s / scan_dt
+
     # (2) per-iteration latency: fetch each call's checksum (upper bound —
     # includes one full relay round trip per call)
     lat = []
@@ -136,7 +169,9 @@ def main():
 
     # sanity gate: >100% of bf16 peak is fiction — refuse to report it
     value, mode = tp_pipelined, "pipelined"
-    if flops_per_call and mfu(tp_pipelined) > 1.0:
+    if tp_scan > value and (not flops_per_call or mfu(tp_scan) <= 1.0):
+        value, mode = tp_scan, "device_scan_k4"
+    if flops_per_call and mfu(value) > 1.0:
         value, mode = tp_periter, "per_iteration"
         if mfu(value) > 1.0:
             raise SystemExit(
@@ -157,6 +192,7 @@ def main():
                 "flops_per_audio_s": round(flops_per_call / audio_s) if flops_per_call else 0,
                 "mfu_vs_v5e_bf16_peak": round(mfu(value), 4),
                 "throughput_pipelined": round(tp_pipelined, 1),
+                "throughput_device_scan_k4": round(tp_scan, 1),
                 "throughput_per_iteration": round(tp_periter, 1),
                 "per_iteration_latency_ms": round(lat_median * 1e3, 2),
                 "batch": B,
