@@ -69,9 +69,12 @@ run_family() {
       --set optimizer=adam --set schedule=noam --set learning_rate=1.0 \
       --set warmup_steps=1000 --set bf16=true \
       --set log_every=20 --set valid_every=250
+    # est_nspk=oracle decoding mode + raised silent-channel threshold
+    # (reference infer_vector_cluster.py oracle speaker-count option)
     $cli infer --family eend_vc --data-dir "$work/test/data" \
       --exp-dir "$work/eend_vc" --out "$work/hyp_eend_vc.rttm" \
       --threshold-sweep --ref "$work/test/data/rttm" \
+      --num-spks -1 --sil-spk-th 0.2 \
       --set sample_rate=$rate --set n_speakers=3 --set n_mels=23 \
       --set d_model=256 --set d_ff=1024 --set n_layers=4 --set n_heads=4 \
       --set chunk_frames=200

@@ -71,8 +71,8 @@ def main():
     variants = {
         "current(thr=1.0)": dict(mode="ahc", n_clusters=None, dist_threshold=1.0),
         "ahc_oracle_k3": dict(mode="ahc", n_clusters=3),
-        "thr=1.2": dict(mode="ahc", n_clusters=None, dist_threshold=1.2),
-        "thr=1.4": dict(mode="ahc", n_clusters=None, dist_threshold=1.4),
+        "sil0.2_k3": dict(mode="ahc", n_clusters=3, sil_spk_th=0.2),
+        "thr=0.8": dict(mode="ahc", n_clusters=None, dist_threshold=0.8),
         "oracle_stitch": dict(mode="oracle"),
     }
     results = {}
@@ -131,11 +131,14 @@ def main():
                 ks.append(n_spk)
             else:
                 labels, k = cluster_chunk_vectors(
-                    actis, svecs, v.get("n_clusters"), 0.05, v.get("dist_threshold", 1.0)
+                    actis, svecs, v.get("n_clusters"), v.get("sil_spk_th", 0.05),
+                    v.get("dist_threshold", 1.0)
                 )
                 p = stitch(actis, labels, max(k, 1), starts, n_sub)
                 ks.append(k)
-            all_turns += probs_to_turns(p, rec, fs, threshold=0.5, median=11)
+            all_turns += probs_to_turns(
+                p, rec, fs, threshold=float(os.environ.get("DECODE_THR", "0.5")), median=11
+            )
         hyp = os.path.join(WORK, f"debug_vc_{name.replace('/', '_')}.rttm")
         write_rttm(hyp, all_turns)
         ref_sub = {rec: ref_turns[rec] for rec in recs}

@@ -1172,13 +1172,27 @@ def cmd_infer(args) -> int:
             logits, vecs = model.apply(params, a, frame_mask=m, deterministic=True)
             return jax.nn.sigmoid(logits) * m[..., None], vecs
 
+        from ..data.rttm import read_rttm_by_rec as _rd
+
         kd = KaldiData(args.data_dir)
+        # --num-spks -1 = per-recording oracle count from the reference RTTM
+        # (the reference's est_nspk oracle mode,
+        # infer_vector_cluster.py:58-96); a positive value fixes k globally;
+        # default estimates k by the AHC distance threshold.
+        oracle_counts = {}
+        if args.num_spks == -1:
+            src = args.ref or os.path.join(args.data_dir, "rttm")
+            oracle_counts = {
+                rec: len({t.speaker for t in ts}) for rec, ts in _rd(src).items()
+            }
         probs = {}
         for rec in sorted(kd.wavs):
             audio, rate = kd.load_wav(rec)
             assert rate == fe.sample_rate
+            nk = oracle_counts.get(rec) if args.num_spks == -1 else (args.num_spks or None)
             probs[rec] = eend_vc_infer_recording(
-                lambda a, m: predict(jnp.asarray(a), jnp.asarray(m)), audio, fe, cfg.chunk_frames
+                lambda a, m: predict(jnp.asarray(a), jnp.asarray(m)), audio, fe,
+                cfg.chunk_frames, n_clusters=nk, sil_spk_th=args.sil_spk_th,
             )
     elif cfg.family == "tsvad":
         from ..data.tsvad_dataset import TSVADChunkDataset
@@ -1461,6 +1475,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--target-audio-dir", help="tsvad3: target_audio tree for enrollment waveforms")
     i.add_argument("--infer-shift", type=float, default=1.0)
     i.add_argument("--threshold-sweep", action="store_true", help="write RTTMs for thresholds 0.2..0.95")
+    i.add_argument("--num-spks", type=int, default=0,
+                   help="eend_vc: fixed cluster count (>0), -1 = oracle per-recording count from --ref (reference est_nspk mode), 0 = distance-threshold AHC")
+    i.add_argument("--sil-spk-th", type=float, default=0.05,
+                   help="eend_vc: silent-channel mean-activity threshold")
     i.add_argument("--cder", action="store_true", help="also report CDER in the threshold sweep")
     i.add_argument("--ref", help="reference RTTM for sweep scoring")
     i.add_argument("--avg-last", type=int, default=0, help="average the last K checkpoints")
