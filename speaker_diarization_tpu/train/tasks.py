@@ -145,22 +145,49 @@ def make_eend_vc_loss(model, spk_loss_weight: float = 0.03):
     return loss_fn
 
 
-def make_ssnd_loss(model, arcface_weight: float = 0.01, bce_alpha: float = 0.75, bce_gamma: float = 2.0):
+def make_ssnd_loss(model, arcface_weight: float = 0.01, bce_alpha: float = 0.75, bce_gamma: float = 2.0,
+                   mask_prob: float = 0.5):
     """loss_fn for SSNDModel: focal BCE on per-slot VAD + ArcFace CE on
     predicted speaker embeddings (reference ssnd_model.py:445-520).
 
     Batch: audio (B, N_samples), aux_embs (B, S, emb), labels (B, S, T_vad),
     spk_gids (B, S) global ids (-1 = empty slot, excluded from ArcFace).
+
+    Query construction follows the reference's training protocol
+    (ssnd_model.py:592-633): present slots get their E_all row; with
+    probability mask_prob ONE present slot's query is replaced by the
+    pseudo-speaker e_pse while its VAD labels stay — this is what teaches
+    the pseudo slot to DETECT an unenrolled speaker (online discovery);
+    empty slots get 50% e_non / 50% a random (distractor) speaker row,
+    both with zero labels. (Round 3 fed e_pse for every empty slot with
+    zero labels, teaching "pseudo slot = silence" — online discovery
+    predicted nothing and SSND scored 100% DER.)
     """
 
     def loss_fn(params, mutable, batch, rng, train):
         variables = {"params": params, **mutable}
+        gids = batch["spk_gids"]
+        B, S = gids.shape
         if "aux_embs" in batch:
             aux = batch["aux_embs"]
         else:
-            # E_all lookup by global id, pseudo-speaker for unknown slots
-            # (reference ssnd_model.py:579-587)
-            aux = model.apply(variables, batch["spk_gids"], method=model.lookup_speaker_embs)
+            E_all = params["E_all"]
+            e_pse = params["e_pse"][0]
+            e_non = params["e_non"][0]
+            present = gids >= 0
+            k1, k2, k3, k4 = jax.random.split(rng, 4)
+            aux_present = E_all[jnp.maximum(gids, 0)]
+            rand_gid = jax.random.randint(k1, (B, S), 0, E_all.shape[0])
+            use_non = jax.random.bernoulli(k2, 0.5, (B, S))
+            aux_empty = jnp.where(use_non[..., None], e_non, E_all[rand_gid])
+            aux = jnp.where(present[..., None], aux_present, aux_empty)
+            if train:
+                midx = jax.random.randint(k3, (B,), 0, S)
+                do_mask = jax.random.bernoulli(k4, mask_prob, (B,)) & present[jnp.arange(B), midx]
+                masked_rows = jnp.where(
+                    do_mask[:, None], e_pse, aux[jnp.arange(B), midx]
+                )
+                aux = aux.at[jnp.arange(B), midx].set(masked_rows)
         if train:
             # teacher-forced representation queries: q_aux = VAD labels
             # (reference ssnd_model.py:673)
