@@ -67,6 +67,8 @@ class TrainCliConfig:
     # ssnd (on-the-fly simulated mixtures, reference simu_diar_dataset.py)
     ssnd_overlap_prob: float = 0.3
     ssnd_sil_scale: float = 1.0
+    # reference --arcface-weight (train_accelerate_ddp.py:305, default 0.01)
+    ssnd_arcface_weight: float = 0.01
     # trunk depth override for CAM++/ResNet-style frame extractors
     # ("12,24,16" = reference CAM++; smaller for smoke tests)
     encoder_blocks: str = ""
@@ -576,7 +578,7 @@ def cmd_train(args) -> int:
                     spk_gids=b["spk_gids"],
                 )
 
-        loss_fn = tasks.make_ssnd_loss(model)
+        loss_fn = tasks.make_ssnd_loss(model, arcface_weight=cfg.ssnd_arcface_weight)
         cfg, mesh = _fit_batch_to_mesh(cfg, mesh)
         trainer = Trainer(loss_fn, tcfg, mesh=mesh, has_mutable=True)
         b0 = next(_ssnd_batches(cfg.batch_size))
