@@ -66,6 +66,7 @@ def main():
     # batch 64 matches the reference's measured config (run_ts_vad2.sh:198);
     # BENCH_BATCH lets the idle-chip run also record batch-scaling points.
     B, chunk_s = int(os.environ.get("BENCH_BATCH", "64")), 4.0
+    audio_s = B * chunk_s  # audio seconds processed per forward call
     T = int(chunk_s * cfg.label_rate)
     rng = np.random.default_rng(0)
 
@@ -160,7 +161,6 @@ def main():
         lat.append(time.perf_counter() - t0)
     lat_median = statistics.median(lat)
 
-    audio_s = B * chunk_s
     tp_pipelined = iters * audio_s / pipelined_dt
     tp_periter = audio_s / lat_median
 

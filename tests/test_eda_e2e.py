@@ -68,7 +68,10 @@ class TestEdaTraining:
         hyp = tmp_path / "hyp.rttm"
         write_rttm(hyp, turns)
         res = score_der(os.path.join(corpus, "rttm"), str(hyp), collar=0.25)
-        assert res.der < 1.0
+        # pinned near the demonstrated toy-corpus performance (~0.32 DER at
+        # this 40-step budget; family row 22.77% in RESULTS.md) so the EDA
+        # path regression-guards like tsvad (0.5) and eend (0.8) do
+        assert res.der < 0.6, f"eda e2e DER regressed: {res.der}"
 
     def test_select_speakers(self):
         assert select_speakers(np.array([0.9, 0.8, 0.3, 0.9]), 0.5) == 2
@@ -161,7 +164,9 @@ class TestClusteringPipeline:
         ref_sub = {rec: turns_by_rec[rec] for rec in sorted(kd.wavs)[:2]}
         res = score_der(ref_sub, str(hyp), collar=0.25)
         # oracle SAD clustering should at least beat all-silence
-        assert res.der < 1.0
+        # pinned near demonstrated ~0.33 DER (oracle-SAD clustering on the
+        # 2-rec toy subset)
+        assert res.der < 0.6, f"cluster DER regressed: {res.der}"
 
     def test_density_cluster_fallback_runs(self):
         rng = np.random.default_rng(1)
