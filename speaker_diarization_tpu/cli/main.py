@@ -69,6 +69,9 @@ class TrainCliConfig:
     ssnd_sil_scale: float = 1.0
     # reference --arcface-weight (train_accelerate_ddp.py:305, default 0.01)
     ssnd_arcface_weight: float = 0.01
+    # fraction of each batch drawn from --real-data-dir meeting blocks
+    # (reference dual simu+real protocol, train_one_epoch_multi)
+    ssnd_real_ratio: float = 0.5
     # trunk depth override for CAM++/ResNet-style frame extractors
     # ("12,24,16" = reference CAM++; smaller for smoke tests)
     encoder_blocks: str = ""
@@ -558,6 +561,8 @@ def cmd_train(args) -> int:
     elif cfg.family == "ssnd":
         # on-the-fly simulated meetings from a single-speaker kaldi dir
         # (reference egs/alimeeting/ssnd/simu_diar_dataset.py + train_accelerate_ddp.py)
+        import numpy as np
+
         from ..data.simulate import SimuDiarMixer
 
         mixer = SimuDiarMixer(
@@ -569,13 +574,32 @@ def cmd_train(args) -> int:
             cfg = dataclasses.replace(cfg, all_n_speakers=mixer.n_all_speakers)
             model = _build_model(cfg)
 
+        # dual-source training: interleave real-meeting blocks with the
+        # simulated mixtures (reference train_accelerate_ddp.py:847
+        # train_one_epoch_multi + alimeeting_diar_dataset.py)
+        real_ds = None
+        if args.real_data_dir:
+            from ..data.simulate import RealDiarBlocks
+
+            real_ds = RealDiarBlocks(
+                args.real_data_dir, mixer.spk_to_gid, duration=cfg.rs_len,
+                rate=cfg.sample_rate, max_speakers=mixer.max_speakers, seed=cfg.seed + 1,
+            )
+
         def _ssnd_batches(bs):
-            for b in mixer.batches(bs):
+            n_real = int(round(bs * cfg.ssnd_real_ratio)) if real_ds else 0
+            for b in mixer.batches(bs - n_real if n_real else bs):
                 # mixer labels are (B, T, S); the SSND loss wants (B, S, T)
+                audio, labels, gids = b["audio"], b["labels"], b["spk_gids"]
+                if n_real:
+                    items = [real_ds.sample() for _ in range(n_real)]
+                    audio = np.concatenate([audio, np.stack([i["audio"] for i in items])])
+                    labels = np.concatenate([labels, np.stack([i["labels"] for i in items])])
+                    gids = np.concatenate([gids, np.stack([i["spk_gids"] for i in items])])
                 yield dict(
-                    audio=b["audio"],
-                    labels=b["labels"].transpose(0, 2, 1),
-                    spk_gids=b["spk_gids"],
+                    audio=audio,
+                    labels=labels.transpose(0, 2, 1),
+                    spk_gids=gids,
                 )
 
         loss_fn = tasks.make_ssnd_loss(model, arcface_weight=cfg.ssnd_arcface_weight)
@@ -1364,7 +1388,9 @@ def cmd_infer(args) -> int:
         from ..score import score_der
 
         best = None
-        for th in [round(0.2 + 0.05 * i, 2) for i in range(16)]:
+        # 0.2..0.95 in 0.05 steps plus a high-confidence tail (0.97/0.98) so
+        # over-firing models' best thresholds are never the sweep boundary
+        for th in [round(0.2 + 0.05 * i, 2) for i in range(16)] + [0.97, 0.98]:
             turns_t = []
             for rec, p in probs.items():
                 turns_t += probs_to_turns(
@@ -1452,6 +1478,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--encoder-ckpt", help="tsvad: pretrained CAM++ torch checkpoint")
     t.add_argument("--noise-dir")
     t.add_argument("--rir-dir")
+    t.add_argument("--real-data-dir",
+                   help="ssnd: meeting data dir (wav.scp+rttm) mixed into each batch at "
+                        "ssnd_real_ratio (reference dual simu+real training)")
     t.add_argument("--max-to-keep", type=int, default=5)
     t.add_argument("--resume", action="store_true", help="resume from the latest checkpoint in --exp-dir")
     t.add_argument("--profile-dir", help="capture a jax.profiler trace of a few steps into this dir")

@@ -636,6 +636,76 @@ class SimuDiarMixer:
         return len(self.speakers)
 
 
+class RealDiarBlocks:
+    """Fixed-length blocks cut from real diarization recordings for SSND
+    training (reference `egs/alimeeting/ssnd/alimeeting_diar_dataset.py` —
+    the second source of the reference's dual simu+real protocol,
+    `train_accelerate_ddp.py:847` train_one_epoch_multi).
+
+    Samples a random window from a meeting wav, reads per-speaker activity
+    from the data dir's RTTM, and assigns slot gids via the provided
+    speaker→gid map (the SimuDiarMixer's source-pool indexing), so E_all
+    rows are shared between the simulated and real sources.
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        spk_to_gid: Dict[str, int],
+        duration: float = 4.0,
+        rate: int = 16000,
+        max_speakers: int = 4,
+        label_rate: int = 25,
+        seed: int = 0,
+    ):
+        from .rttm import read_rttm_by_rec
+
+        self.kd = kaldi_io.KaldiData(data_dir)
+        self.turns = read_rttm_by_rec(os.path.join(data_dir, "rttm"))
+        self.spk_to_gid = spk_to_gid
+        self.duration, self.rate = duration, rate
+        self.max_speakers, self.label_rate = max_speakers, label_rate
+        self.rng = np.random.default_rng(seed)
+        self.recs = sorted(r for r in self.kd.wavs if r in self.turns)
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def _audio(self, rec: str) -> np.ndarray:
+        if rec not in self._cache:
+            a, r = wavio.load_wav_maybe_piped(self.kd.wavs[rec])
+            assert r == self.rate, f"{rec}: rate {r} != {self.rate}"
+            if a.ndim > 1:
+                a = a[:, 0]
+            self._cache[rec] = a.astype(np.float32)
+        return self._cache[rec]
+
+    def sample(self):
+        """→ dict(audio (N,), labels (T, max_speakers), spk_gids (max_speakers,))."""
+        n_samples = int(self.duration * self.rate)
+        n_frames = int(self.duration * self.label_rate)
+        rec = self.recs[int(self.rng.integers(len(self.recs)))]
+        audio = self._audio(rec)
+        start = float(self.rng.uniform(0.0, max(len(audio) / self.rate - self.duration, 0.0)))
+        seg = audio[int(start * self.rate) : int(start * self.rate) + n_samples]
+        seg = np.pad(seg, (0, n_samples - len(seg)))
+
+        # per-speaker activity inside the window, most-active first
+        acts: Dict[str, np.ndarray] = {}
+        for t in self.turns[rec]:
+            b, e = t.start - start, t.end - start
+            f0 = max(int(b * self.label_rate), 0)
+            f1 = min(int(e * self.label_rate), n_frames)
+            if f1 <= f0:
+                continue
+            acts.setdefault(t.speaker, np.zeros(n_frames, np.float32))[f0:f1] = 1.0
+        order = sorted(acts, key=lambda s: -float(acts[s].sum()))[: self.max_speakers]
+        labels = np.zeros((n_frames, self.max_speakers), np.float32)
+        gids = np.full((self.max_speakers,), -1, np.int32)
+        for si, spk in enumerate(order):
+            labels[:, si] = acts[spk]
+            gids[si] = self.spk_to_gid[spk]
+        return dict(audio=seg, labels=labels, spk_gids=gids)
+
+
 def simulate_corpus(
     out_dir: str,
     n_mixtures: int = 8,

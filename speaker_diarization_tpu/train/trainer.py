@@ -168,6 +168,14 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self, params, mutable=None) -> TrainState:
+        # Defensive copy: train_step donates the state (donate_argnums=(0,)),
+        # so without it the FIRST step would delete the caller's own arrays —
+        # any later use of the params/mutable passed in here (a second
+        # Trainer over the same init, a comparison against step 0) would
+        # raise "Array has been deleted".
+        params = jax.tree_util.tree_map(jnp.array, params)
+        if mutable is not None:
+            mutable = jax.tree_util.tree_map(jnp.array, mutable)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,

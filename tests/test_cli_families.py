@@ -155,7 +155,7 @@ def test_tsvad_cli_train_infer_sweep(corpus, tmp_path):
     import glob
 
     rttms = glob.glob(out + "_0.*")
-    assert len(rttms) == 16  # thresholds 0.2..0.95
+    assert len(rttms) == 18  # thresholds 0.2..0.95 + 0.97, 0.98
     # sweep RTTMs carry the real speaker names from the data dir
     names = {l.split()[7] for r in rttms for l in open(r) if l.strip()}
     from speaker_diarization_tpu.data.rttm import read_rttm_by_rec
