@@ -119,15 +119,12 @@ def main():
         assert np.isfinite(witness)
     pipelined_dt = statistics.median(pipelined_dts)
 
-    # (1b) device-side scan: one dispatch runs K=4 sequential forwards via
+    # (1b) device-side scan: one dispatch runs K sequential forwards via
     # lax.scan over stacked distinct inputs (per-forward batch stays 64 —
     # activations never exceed the B=64 working set; this only amortizes
-    # the host/relay dispatch overhead across 4× the audio). Same
-    # completion witness: the summed checksum's host value.
-    K = 4
-    audio_k = jnp.stack(audios[:K])
-    embs_k = jnp.stack(embss[:K])
-
+    # the host/relay dispatch overhead across K× the audio). Same
+    # completion witness: the summed checksum's host value. K is swept so
+    # residual per-dispatch overhead doesn't cap the steady-state figure.
     @jax.jit
     def forward_scan(variables, audio_k, embs_k):
         def body(acc, xe):
@@ -138,19 +135,24 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), (audio_k, embs_k))
         return acc
 
-    float(forward_scan(variables, audio_k, embs_k))  # compile+run
-    scan_iters = max(1, iters // K)
-    scan_dts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        acc = None
-        for i in range(scan_iters):
-            s_ = forward_scan(variables, audio_k, embs_k)
-            acc = s_ if acc is None else acc + s_
-        float(acc)
-        scan_dts.append(time.perf_counter() - t0)
-    scan_dt = statistics.median(scan_dts)
-    tp_scan = scan_iters * K * audio_s / scan_dt
+    tp_scan, scan_k = 0.0, 0
+    for K in (4, 16):
+        audio_k = jnp.stack([audios[i % n_bufs] for i in range(K)])
+        embs_k = jnp.stack([embss[i % n_bufs] for i in range(K)])
+        float(forward_scan(variables, audio_k, embs_k))  # compile+run
+        scan_iters = max(1, iters // K)
+        scan_dts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            acc = None
+            for i in range(scan_iters):
+                s_ = forward_scan(variables, audio_k, embs_k)
+                acc = s_ if acc is None else acc + s_
+            float(acc)
+            scan_dts.append(time.perf_counter() - t0)
+        tp_k = scan_iters * K * audio_s / statistics.median(scan_dts)
+        if tp_k > tp_scan:
+            tp_scan, scan_k = tp_k, K
 
     # (2) per-iteration latency: fetch each call's checksum (upper bound —
     # includes one full relay round trip per call)
@@ -170,7 +172,7 @@ def main():
     # sanity gate: >100% of bf16 peak is fiction — refuse to report it
     value, mode = tp_pipelined, "pipelined"
     if tp_scan > value and (not flops_per_call or mfu(tp_scan) <= 1.0):
-        value, mode = tp_scan, "device_scan_k4"
+        value, mode = tp_scan, f"device_scan_k{scan_k}"
     if flops_per_call and mfu(value) > 1.0:
         value, mode = tp_periter, "per_iteration"
         if mfu(value) > 1.0:
@@ -192,7 +194,8 @@ def main():
                 "flops_per_audio_s": round(flops_per_call / audio_s) if flops_per_call else 0,
                 "mfu_vs_v5e_bf16_peak": round(mfu(value), 4),
                 "throughput_pipelined": round(tp_pipelined, 1),
-                "throughput_device_scan_k4": round(tp_scan, 1),
+                "throughput_device_scan": round(tp_scan, 1),
+                "device_scan_k": scan_k,
                 "throughput_per_iteration": round(tp_periter, 1),
                 "per_iteration_latency_ms": round(lat_median * 1e3, 2),
                 "batch": B,

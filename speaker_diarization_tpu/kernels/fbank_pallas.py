@@ -14,9 +14,14 @@ concatenation of rows t..t+k (plus a partial row), so the kernel receives
 k+1 shifted views of one buffer (XLA aliases them) and every access is a
 plain block load — no gather, no overlapping BlockSpecs.
 
-HIGHEST-precision MXU passes: bf16 default loses ~0.4% on the spectrum,
-which explodes under the log at near-floor mel bins. Validated against the
-host oracles in tests/test_pallas_fbank.py; interpret mode runs on CPU.
+Precision: plain bf16 loses ~0.4% on the spectrum, which explodes under
+the log at near-floor mel bins (cancellation in the DFT); HIGHEST f32
+costs 6 bf16 MXU passes per matmul. The kernel instead splits frames and
+basis into bf16 hi+lo halves — fh@bh + fh@bl + fl@bh + fl@bl recovers the
+f32 product to well under the test tolerances at 4 native bf16 passes of
+ONE fused [cos|sin] matmul (vs 2 × 6 passes for HIGHEST) — and projects
+mel with the same split (3 tiny passes). Validated against the host
+oracles in tests/test_pallas_fbank.py; interpret mode runs on CPU.
 """
 
 from __future__ import annotations
@@ -35,20 +40,38 @@ from ..ops import features as F
 TILE_T = 128
 
 
-def _frontend_kernel(*refs, n_pieces, preemph, remove_dc, log10):
+def _frontend_kernel(*refs, n_pieces, preemph, remove_dc, log10, bins):
     row_refs = refs[:n_pieces]
-    cos_ref, sin_ref, mel_ref, out_ref = refs[n_pieces : n_pieces + 4]
+    bh_ref, bl_ref, mel_ref, out_ref = refs[n_pieces : n_pieces + 4]
     frames = jnp.concatenate([r[0] for r in row_refs], axis=1)  # (T, win)
     if remove_dc:
         frames = frames - jnp.mean(frames, axis=1, keepdims=True)
     if preemph:
         prev = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
         frames = frames - preemph * prev
-    hp = jax.lax.Precision.HIGHEST
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32, precision=hp)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32, precision=hp)
+    # DFT as bf16 split-matmuls against the fused [cos|sin] basis.
+    # frames = fh + fl (each exactly representable in bf16); basis = bh + bl.
+    # fh@bh + (fh@bl + fl@bh) ≈ f32 product to ~1e-5 relative — 3 native
+    # bf16 MXU passes instead of HIGHEST's 6, and one fused N=2·bins matmul
+    # instead of two separate ones.
+    fh = frames.astype(jnp.bfloat16)
+    fl = (frames - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh, bl = bh_ref[:], bl_ref[:]
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    spec2 = dot(fh, bh) + (dot(fh, bl) + dot(fl, bh) + dot(fl, bl))  # (T, 2*bins)
+    re, im = spec2[:, :bins], spec2[:, bins:]
     pspec = re * re + im * im
-    melspec = jnp.dot(pspec, mel_ref[:], preferred_element_type=jnp.float32, precision=hp)
+    # mel projection with the same hi/lo split (the matmul is tiny next to
+    # the DFT, and one bf16 pass alone costs ~4e-3 after the log)
+    ph = pspec.astype(jnp.bfloat16)
+    pl_ = (pspec - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    mel = mel_ref[:]
+    mh = mel.astype(jnp.bfloat16)
+    ml = (mel - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+    melspec = dot(ph, mh) + (dot(ph, ml) + dot(pl_, mh))
     floored = jnp.maximum(melspec, np.finfo(np.float32).eps if not log10 else 1e-10)
     out_ref[0] = jnp.log(floored) * (1.0 / np.log(10.0) if log10 else 1.0)
 
@@ -82,9 +105,14 @@ def _fused_frontend(
         widths.append(rem)
 
     n_mels = mel_T.shape[1]
+    bins = cos_basis.shape[1]
+    basis = np.concatenate([cos_basis, sin_basis], axis=1).astype(np.float32)  # (win, 2*bins)
+    basis_h = jnp.asarray(basis, jnp.bfloat16)
+    basis_l = jnp.asarray(basis - np.asarray(basis_h, np.float32), jnp.bfloat16)
     out = pl.pallas_call(
         functools.partial(
-            _frontend_kernel, n_pieces=n_pieces, preemph=preemph, remove_dc=remove_dc, log10=log10
+            _frontend_kernel, n_pieces=n_pieces, preemph=preemph, remove_dc=remove_dc,
+            log10=log10, bins=bins,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Trows, n_mels), jnp.float32),
         grid=(B, n_tiles),
@@ -94,7 +122,7 @@ def _fused_frontend(
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec((1, TILE_T, n_mels), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(*views, jnp.asarray(cos_basis), jnp.asarray(sin_basis), jnp.asarray(mel_T))
+    )(*views, basis_h, basis_l, jnp.asarray(mel_T))
     return out[:, :n_frames]
 
 

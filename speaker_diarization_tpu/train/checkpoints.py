@@ -113,7 +113,7 @@ def average_checkpoints(manager: CheckpointManager, steps: List[int], template: 
     acc = None
     for s in steps:
         st = manager.restore(s, template)
-        p = jax.device_get(st.params)
+        p = jax.device_get(st["params"] if isinstance(st, dict) else st.params)
         if acc is None:
             acc = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64), p)
         else:
