@@ -107,8 +107,14 @@ def _fused_frontend(
     n_mels = mel_T.shape[1]
     bins = cos_basis.shape[1]
     basis = np.concatenate([cos_basis, sin_basis], axis=1).astype(np.float32)  # (win, 2*bins)
-    basis_h = jnp.asarray(basis, jnp.bfloat16)
-    basis_l = jnp.asarray(basis - np.asarray(basis_h, np.float32), jnp.bfloat16)
+    # hi/lo split computed host-side in NumPy (this function runs under jit
+    # traces — jnp arrays here would be tracers)
+    import ml_dtypes
+
+    basis_h_np = basis.astype(ml_dtypes.bfloat16)
+    basis_l_np = (basis - basis_h_np.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    basis_h = jnp.asarray(basis_h_np)
+    basis_l = jnp.asarray(basis_l_np)
     out = pl.pallas_call(
         functools.partial(
             _frontend_kernel, n_pieces=n_pieces, preemph=preemph, remove_dc=remove_dc,
