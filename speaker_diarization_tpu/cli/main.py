@@ -1305,11 +1305,16 @@ def cmd_infer(args) -> int:
         from ..models.eend_m2f import m2f_predict_activity
 
         class_threshold = float(args.class_threshold)
+        # default concurrent-speaker cap = n_speakers (reference infer2's
+        # per-frame top-k); 0 disables
+        max_conc = cfg.n_speakers if args.m2f_max_concurrent is None else args.m2f_max_concurrent
 
         @jax.jit
         def predict(a, m):
             outputs = model.apply(params, a, frame_mask=m, train=False)
-            act, _keep = m2f_predict_activity(outputs, class_threshold=class_threshold)
+            act, _keep = m2f_predict_activity(
+                outputs, class_threshold=class_threshold, max_concurrent=max_conc
+            )
             # (B, Q, T) → (B, T, Q) speaker-channel probabilities
             return act.transpose(0, 2, 1) * m[..., None]
 
@@ -1501,6 +1506,8 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--median", type=int, default=11)
     i.add_argument("--attractor-threshold", type=float, default=0.5)
     i.add_argument("--class-threshold", type=float, default=0.5, help="eend_m2f query-keep threshold")
+    i.add_argument("--m2f-max-concurrent", type=int,
+                   help="eend_m2f per-frame top-k speaker cap (reference infer2); default n_speakers, 0 disables")
     i.add_argument("--ssnd-rescore", action="store_true", help="ssnd: two-pass offline rescore")
     i.add_argument("--emb-store")
     i.add_argument("--target-audio-dir", help="tsvad3: target_audio tree for enrollment waveforms")

@@ -304,10 +304,21 @@ def m2f_criterion(outputs: dict, labels: jnp.ndarray, cfg: M2FConfig, frame_mask
     return total, {"class_loss": cl, "mask_loss": ml, "dice_loss": dl}
 
 
-def m2f_predict_activity(outputs: dict, class_threshold: float = 0.5):
+def m2f_predict_activity(outputs: dict, class_threshold: float = 0.5, max_concurrent: int = 0):
     """Inference: keep queries with class prob > threshold; activity =
-    sigmoid masks of kept queries (reference infer_mask_model.py)."""
+    sigmoid masks of kept queries (reference infer_mask_model.py).
+
+    max_concurrent > 0 additionally keeps only the top-k query activities
+    per frame (reference model.py:213-272 infer2 "每帧最多选择两个说话人" —
+    per-frame top-num_speakers selection), the reference's cap on
+    simultaneous speakers that stops over-firing queries from stacking
+    false alarms."""
     probs = jax.nn.sigmoid(outputs["class_logits"])  # (B, Q)
     masks = jax.nn.sigmoid(outputs["mask_logits"])  # (B, Q, T)
     keep = probs > class_threshold
-    return masks * keep[..., None], keep
+    act = masks * keep[..., None]
+    Q = act.shape[1]
+    if 0 < max_concurrent < Q:
+        kth = -jnp.sort(-act, axis=1)[:, max_concurrent - 1 : max_concurrent]  # (B, 1, T)
+        act = jnp.where(act >= kth, act, 0.0)
+    return act, keep
