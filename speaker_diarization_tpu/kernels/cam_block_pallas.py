@@ -129,6 +129,31 @@ def cam_dense_block_pallas(
     assert growth == 32 and c0 + L * 32 == c_max
     if batch_tile is None:
         batch_tile = _pick_batch_tile(B, T, c0, c_max, L)
+        # Large blocks (block2: L=24, c_max=1024 → 6.3 MB of resident
+        # stacked W1) force a small batch tile and stay op-overhead-bound.
+        # Splitting the layer chain into two kernel calls halves the
+        # resident weights so each half runs at a 2× fatter tile; the
+        # handoff costs one extra HBM round trip of the (B, T, c_mid)
+        # buffer (~0.03 ms at batch 64) — far below the overhead saved.
+        import os
+
+        force_split = os.environ.get("SDT_BLOCK_SPLIT") == "1"
+        if (batch_tile < 8 or force_split) and L >= 8:
+            L1 = L // 2
+            c_mid = c0 + 32 * L1
+            bp1 = {
+                "s1": bp["s1"][:L1, :c_mid], "b1": bp["b1"][:L1, :c_mid],
+                "W1": bp["W1"][:L1, :c_mid], "s2": bp["s2"][:L1], "b2": bp["b2"][:L1],
+                "K": bp["K"][:L1], "Wc1": bp["Wc1"][:L1], "bc1": bp["bc1"][:L1],
+                "Wc2": bp["Wc2"][:L1], "bc2": bp["bc2"][:L1],
+            }
+            bp2 = {k: v[L1:] for k, v in bp.items()}
+            h = cam_dense_block_pallas(
+                x, bp1, dilation, seg_len=seg_len, dtype=dtype, interpret=interpret
+            )
+            return cam_dense_block_pallas(
+                h, bp2, dilation, seg_len=seg_len, dtype=dtype, interpret=interpret
+            )
     if B % batch_tile != 0 or T % seg_len != 0:
         # fallback: XLA-level fused path covers ragged shapes
         from .cam_block_fused import cam_dense_block_infer

@@ -88,3 +88,37 @@ class TestPallasBlock:
         ref = block.apply(v, x, False)
         got = cam_dense_block_pallas(x, bp, 1, dtype=jnp.float32, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+class TestBlockSplit:
+    def test_split_chain_equals_single_kernel(self):
+        """SDT_BLOCK_SPLIT=1 splits a block's layer chain into two pallas
+        calls (VMEM-driven batch-tile planning); the chained result must
+        equal both the XLA reference and the unsplit kernel."""
+        import os
+
+        import flax.linen  # noqa: F401
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from speaker_diarization_tpu.kernels.cam_block_fused import (
+            cam_dense_block_infer, prepare_block_params,
+        )
+        from speaker_diarization_tpu.kernels.cam_block_pallas import cam_dense_block_pallas
+        from speaker_diarization_tpu.models.campplus import CAMDenseTDNNBlock
+
+        rng = np.random.default_rng(0)
+        B, T, c0, L = 4, 200, 64, 8
+        c_max = c0 + 32 * L
+        blk = CAMDenseTDNNBlock(num_layers=L, out_channels=32, bn_channels=128, kernel_size=3, dilation=2)
+        x = jnp.asarray(rng.standard_normal((B, T, c0)).astype(np.float32))
+        vars_ = blk.init(jax.random.PRNGKey(0), x, False)
+        bp = prepare_block_params(vars_["params"], vars_["batch_stats"], L, c0, c_max)
+        ref = cam_dense_block_infer(x, bp, 2, dtype=jnp.float32)
+        os.environ["SDT_BLOCK_SPLIT"] = "1"
+        try:
+            split = cam_dense_block_pallas(x, bp, 2, dtype=jnp.float32, interpret=True)
+        finally:
+            del os.environ["SDT_BLOCK_SPLIT"]
+        np.testing.assert_allclose(np.asarray(split), np.asarray(ref), atol=2e-4)
