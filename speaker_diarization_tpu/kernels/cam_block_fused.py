@@ -207,6 +207,24 @@ def _transit_infer(x, p, st):
     ).astype(x.dtype)
 
 
+def _fcm_auto(fbank, p, st, dtype):
+    """Dispatch: whole-head Pallas kernel on TPU backends for the standard
+    80-mel/32-channel head (XLA convs cap at ~17% MFU from the 32-lane
+    outputs); XLA path elsewhere. SDT_NO_PALLAS=1 forces XLA."""
+    import os
+
+    std_head = fbank.shape[-1] == 80 and p["conv1"]["kernel"].shape == (3, 3, 1, 32)
+    if (
+        std_head
+        and os.environ.get("SDT_NO_PALLAS") != "1"
+        and jax.default_backend() in ("tpu", "axon")
+    ):
+        from .fcm_pallas import fcm_pallas, prepare_fcm_params
+
+        return fcm_pallas(fbank, tuple(prepare_fcm_params(p, st, dtype)), dtype=dtype)
+    return _fcm_infer(fbank, p, st)
+
+
 def _dense_block_auto(h, bp, dil, dtype):
     """Dispatch: single-kernel Pallas block on TPU backends (incl. the
     'axon' relay), XLA-level fusion elsewhere. SDT_NO_PALLAS=1 forces the
@@ -229,7 +247,7 @@ def campplus_frames_fused(model, variables, fbank: jnp.ndarray) -> jnp.ndarray:
     """
     params, stats = variables["params"], variables.get("batch_stats", {})
     dt = model.dtype
-    h = _fcm_infer(fbank.astype(dt), params["head"], stats["head"])
+    h = _fcm_auto(fbank.astype(dt), params["head"], stats["head"], dt)
     h = _tdnn_infer(h, params["tdnn"], stats["tdnn"])
     channels = model.init_channels
     for i, (num_layers, dil) in enumerate(zip(model.block_layers, model.block_dilations)):
