@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from speaker_diarization_tpu.kernels.cam_block_fused import (
-    _bn_infer, _dense_block_auto, _fcm_infer, _tdnn_infer, _transit_infer,
+    _bn_infer, _dense_block_auto, _fcm_auto, _fcm_infer, _tdnn_infer, _transit_infer,
     prepare_block_params,
 )
 from speaker_diarization_tpu.models import TSVADConfig, TSVADModel
@@ -80,7 +80,8 @@ def main():
             h = fb.astype(dt_)
             if stage == "fbank":
                 return h
-            h = _fcm_infer(h, p["head"], st["head"])
+            h = (_fcm_infer(h, p["head"], st["head"]) if os.environ.get("SDT_NAIVE_FCM") == "1"
+                 else _fcm_auto(h, p["head"], st["head"], dt_))
             if stage == "fcm":
                 return h
             h = _tdnn_infer(h, p["tdnn"], st["tdnn"])

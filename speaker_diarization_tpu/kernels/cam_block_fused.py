@@ -208,20 +208,31 @@ def _transit_infer(x, p, st):
 
 
 def _fcm_auto(fbank, p, st, dtype):
-    """Dispatch: whole-head Pallas kernel on TPU backends for the standard
-    80-mel/32-channel head (XLA convs cap at ~17% MFU from the 32-lane
-    outputs); XLA path elsewhere. SDT_NO_PALLAS=1 forces XLA."""
+    """Dispatch the FCM head.
+
+    Production path: the plain lax-conv form (_fcm_infer) — measured
+    0.6 ms in-context at batch 64 x 4 s on v5e (XLA fuses the small convs
+    well; logs/r5_profile_parts_naive.log). Two experimental
+    restatements are kept behind env flags, both measured SLOWER or
+    uncompilable on real hardware in round 5:
+      SDT_FCM_FOLDED=1  tap-folded XLA matmuls — 24 ms: the (..., 96)
+                        concat materializes ~400 MB intermediates and the
+                        head is bandwidth-bound, not lane-bound;
+      SDT_FCM_PALLAS=1  whole-head Pallas kernel — parity-correct in
+                        interpret mode, but Mosaic's remote compile is
+                        OOM-killed on v5e (3-D vectors with a 32-wide
+                        lane dim → thousands of vregs per op)."""
     import os
 
     std_head = fbank.shape[-1] == 80 and p["conv1"]["kernel"].shape == (3, 3, 1, 32)
-    if (
-        std_head
-        and os.environ.get("SDT_NO_PALLAS") != "1"
-        and jax.default_backend() in ("tpu", "axon")
-    ):
+    if std_head and os.environ.get("SDT_FCM_PALLAS") == "1" and jax.default_backend() in ("tpu", "axon"):
         from .fcm_pallas import fcm_pallas, prepare_fcm_params
 
         return fcm_pallas(fbank, tuple(prepare_fcm_params(p, st, dtype)), dtype=dtype)
+    if std_head and os.environ.get("SDT_FCM_FOLDED") == "1":
+        from .fcm_pallas import fcm_xla_folded, prepare_fcm_params
+
+        return fcm_xla_folded(fbank, tuple(prepare_fcm_params(p, st, dtype)), dtype=dtype)
     return _fcm_infer(fbank, p, st)
 
 

@@ -5,7 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from speaker_diarization_tpu.kernels.fcm_pallas import fcm_pallas, prepare_fcm_params
+from speaker_diarization_tpu.kernels.fcm_pallas import (
+    fcm_pallas,
+    fcm_xla_folded,
+    prepare_fcm_params,
+)
 from speaker_diarization_tpu.models.campplus import FCM
 
 
@@ -31,6 +35,19 @@ class TestFCMPallas:
         flat = prepare_fcm_params(vars_["params"], vars_["batch_stats"])
         out = fcm_pallas(fb, tuple(flat), dtype=jnp.bfloat16, interpret=True)
         # bf16 rounding of weights+activations; same order as the bf16 XLA path
+        assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) < 0.05
+
+    def test_xla_folded_f32_parity(self, fcm_setup):
+        """The production TPU path (tap-folded XLA form) matches the module."""
+        fb, vars_, ref = fcm_setup
+        flat = prepare_fcm_params(vars_["params"], vars_["batch_stats"], dtype=jnp.float32)
+        out = fcm_xla_folded(fb, tuple(flat), dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_xla_folded_bf16_parity(self, fcm_setup):
+        fb, vars_, ref = fcm_setup
+        flat = prepare_fcm_params(vars_["params"], vars_["batch_stats"])
+        out = fcm_xla_folded(fb, tuple(flat), dtype=jnp.bfloat16)
         assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref))) < 0.05
 
     def test_under_enclosing_jit(self, fcm_setup):
