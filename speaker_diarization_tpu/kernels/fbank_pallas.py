@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import features as F
 
-TILE_T = 128
+TILE_T = 128  # legacy floor; _fused_frontend picks an adaptive tile
 
 
 def _frontend_kernel(*refs, n_pieces, preemph, remove_dc, log10, bins):
@@ -90,8 +90,14 @@ def _fused_frontend(
     interpret: bool,
 ) -> jnp.ndarray:
     B = x.shape[0]
-    n_tiles = -(-n_frames // TILE_T)
-    Trows = n_tiles * TILE_T
+    # Adaptive time tile: the per-step compute is ~µs against a ~10 µs
+    # grid-step overhead, so fine tiles leave the kernel overhead-bound
+    # (measured 4.5 ms for batch 64 × 398 frames with TILE_T=128 — 256
+    # grid steps; one tile per item cuts it to B steps). Cap at 512
+    # frames to bound the VMEM working set.
+    tile_t = min(512, -(-n_frames // 8) * 8)
+    n_tiles = -(-n_frames // tile_t)
+    Trows = n_tiles * tile_t
     n_full = win // shift
     rem = win - n_full * shift
     n_pieces = n_full + (1 if rem else 0)
@@ -123,10 +129,10 @@ def _fused_frontend(
         out_shape=jax.ShapeDtypeStruct((B, Trows, n_mels), jnp.float32),
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE_T, w), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM) for w in widths
+            pl.BlockSpec((1, tile_t, w), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM) for w in widths
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec((1, TILE_T, n_mels), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tile_t, n_mels), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*views, basis_h, basis_l, jnp.asarray(mel_T))
     return out[:, :n_frames]
