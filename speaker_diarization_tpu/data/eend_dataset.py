@@ -74,6 +74,23 @@ class EendChunkDataset:
             if use_last_partial and rem > 0:
                 self.chunks.append(ChunkIndexEntry(rec, data_len - rem, data_len))
 
+        # Data-coverage guard: a recording shorter than one chunk yields NO
+        # chunks when use_last_partial=False. With chunk_frames larger than
+        # the typical recording this silently discards most of the corpus
+        # (round-5 diagnosis: chunk_frames=500 vs ~426-subsampled-frame
+        # meetings kept 253 of 1200 recordings and the model overfit).
+        n_recs = sum(1 for r in self.kd.wavs if r in self.kd.segments)
+        covered = len({c.rec for c in self.chunks})
+        if covered < n_recs:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "EendChunkDataset: only %d of %d recordings produce chunks "
+                "(chunk_frames=%d subsampled frames > the rest); consider a "
+                "smaller chunk_frames or use_last_partial=True",
+                covered, n_recs, chunk_frames,
+            )
+
     def __len__(self) -> int:
         return len(self.chunks)
 
